@@ -1,0 +1,229 @@
+"""Stacked multi-head exact GP regression for TPU.
+
+The reference keeps ``num_gp`` independent torch GP objects in a ModuleList
+and trains / queries them in Python loops (model_learning/Model_learning.py:
+100-105, 157-161, 277-289).  Here all heads share one kernel *structure*; their
+hyperparameters are stacked under a leading head axis ``G`` and every
+operation — MLL training epoch, posterior build, prediction — is ``vmap``-ed
+over that axis, so a single XLA program does the work of all heads at once.
+
+Datasets are padded to bucketed capacity with a validity mask (see
+ops/linalg.py) so the per-trial dataset growth of MC-PILCO almost never
+re-compiles.
+
+Math parity (citations into /root/reference):
+- MLL loss = 0.5 (y^T K^-1 y + log|K|), the N log 2pi constant dropped, same
+  as Likelihood/Gaussian_likelihood.py:12-24.
+- Posterior cache {alpha, K^-1, m_X, X_tr} and the mean/variance formulas
+  follow GP_prior.py:130-155:  mean = m* + K*^T alpha,
+  var = k**_diag - sum((K* K^-1) ∘ K*, -1).
+- Per-head output max-abs normalization is the ``flg_norm`` analog
+  (Model_learning.py:406-409), applied *consistently* to both hyperparameter
+  training and the posterior cache (the reference only normalizes during
+  hyperparameter training), which is essential for f32/TPU numerics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import linalg
+from .kernels import Kernel
+
+
+class GPData(NamedTuple):
+    """Padded training set shared across heads.
+
+    x: [N_cap, D] inputs; y: [G, N_cap] per-head targets; mask: [N_cap].
+    """
+
+    x: jax.Array
+    y: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+
+class Posterior(NamedTuple):
+    """Cached posterior for fast rollout-time prediction.
+
+    Per-head training inputs are stored separately ([G, M, D]) because sparse
+    approximations (SOD) select a different subset per head.
+    ``norm`` rescales the normalized-target posterior back to output units.
+    """
+
+    x_tr: jax.Array  # [G, M, D]
+    mask: jax.Array  # [G, M]
+    alpha: jax.Array  # [G, M]
+    k_inv: jax.Array  # [G, M, M]
+    norm: jax.Array  # [G]
+
+
+class GPParams(NamedTuple):
+    kernel: object  # pytree, leading axis G on every leaf
+    log_sigma_n: jax.Array  # [G]
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiGP:
+    """Static config for a stack of ``num_heads`` GPs with a shared kernel
+    structure and per-head measurement noise (GP_prior.py:59-67)."""
+
+    kernel: Kernel
+    num_heads: int
+    # Relative diagonal jitter: empirically the smallest value for which the
+    # TPU's blocked f32 Cholesky survives 1500 MLL epochs on a near-noiseless
+    # SE+P(2) fit is 1e-5; 3e-5 leaves margin for larger N (see tests and
+    # bench).  CPU f64 golden tests can lower it.
+    jitter: float = 3e-5
+    train_sigma_n: bool = True
+    normalize_outputs: bool = False
+
+    # ---------------- parameter init ----------------
+
+    def init_params(self, sigma_n=1.0, per_head_overrides=None, dtype=jnp.float32) -> GPParams:
+        """Stack per-head kernel params. ``per_head_overrides`` is an optional
+        list (len num_heads) of kwargs for ``kernel.init_params``."""
+        ov = per_head_overrides or [{}] * self.num_heads
+        per_head = [self.kernel.init_params(dtype=dtype, **o) for o in ov]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_head)
+        sn = jnp.asarray(sigma_n, dtype) * jnp.ones(self.num_heads, dtype)
+        return GPParams(kernel=stacked, log_sigma_n=jnp.log(sn))
+
+    def param_mask(self, params: GPParams) -> GPParams:
+        one_head = jax.tree_util.tree_map(lambda x: x[0], params.kernel)
+        return GPParams(
+            kernel=self.kernel.param_mask(one_head),
+            log_sigma_n=self.train_sigma_n,
+        )
+
+    # ---------------- core math (single head) ----------------
+
+    def _noisy_gram(self, kparams, log_sigma_n, x, mask):
+        """K(x,x) + (sigma_n^2 + jitter) I with scale-adaptive jitter —
+        f32 Cholesky on TPU needs the diagonal boost to track the Gram
+        magnitude (the ``sigma_n_num`` analog, GP_prior.py:64-67)."""
+        K = self.kernel.gram(kparams, x, x)
+        jit = linalg.adaptive_jitter(K, mask, rel=self.jitter, floor=self.jitter)
+        noise = jnp.exp(2.0 * log_sigma_n) + jit
+        return K + noise * jnp.eye(x.shape[0], dtype=x.dtype)
+
+    def _mll_head(self, kparams, log_sigma_n, x, y, mask):
+        """Negative MLL of one head on masked data."""
+        K = self._noisy_gram(kparams, log_sigma_n, x, mask)
+        L = linalg.masked_cholesky(K, mask)
+        resid = (y - self.kernel.mean(kparams, x)) * mask
+        alpha = linalg.chol_solve(L, resid[:, None])[:, 0]
+        logdet = linalg.masked_logdet_from_chol(L, mask)
+        return 0.5 * (jnp.dot(resid, alpha) + logdet)
+
+    def _posterior_head(self, kparams, log_sigma_n, x, y, mask, norm):
+        K = self._noisy_gram(kparams, log_sigma_n, x, mask)
+        L = linalg.masked_cholesky(K, mask)
+        resid = (y / norm - self.kernel.mean(kparams, x)) * mask
+        alpha = linalg.chol_solve(L, resid[:, None])[:, 0]
+        k_inv = linalg.chol_inverse(L) * (mask[:, None] * mask[None, :])
+        return alpha * mask, k_inv
+
+    def _predict_head(self, kparams, x_tr, mask, alpha, k_inv, norm, x_star):
+        k_star = self.kernel.gram(kparams, x_star, x_tr) * mask  # [P, M]
+        mean = self.kernel.mean(kparams, x_star) + k_star @ alpha
+        var = self.kernel.diag(kparams, x_star) - jnp.sum((k_star @ k_inv) * k_star, axis=-1)
+        var = jnp.maximum(var, 0.0)  # f32 guard; eliminates sqrt-NaN at the source
+        return mean * norm, var * norm * norm
+
+    # ---------------- public stacked API ----------------
+
+    def mll(self, params: GPParams, data: GPData, norm: Optional[jax.Array] = None) -> jax.Array:
+        """Sum over heads of the negative marginal log-likelihood."""
+        if norm is None:
+            norm = jnp.ones(self.num_heads, data.x.dtype)
+        losses = jax.vmap(
+            lambda kp, lsn, y, nm: self._mll_head(kp, lsn, data.x, y / nm, data.mask)
+        )(params.kernel, params.log_sigma_n, data.y, norm)
+        return jnp.sum(losses)
+
+    def output_norms(self, data: GPData) -> jax.Array:
+        """Per-head max-abs output normalizers (Model_learning.py:406-409)."""
+        if not self.normalize_outputs:
+            return jnp.ones(self.num_heads, data.x.dtype)
+        m = jnp.max(jnp.abs(data.y) * data.mask[None, :], axis=-1)
+        return jnp.maximum(m, jnp.finfo(data.x.dtype).tiny)
+
+    def fit(
+        self,
+        params: GPParams,
+        data: GPData,
+        num_epochs: int,
+        learning_rate: float = 0.01,
+        optimizer: Optional[optax.GradientTransformation] = None,
+    ):
+        """Train hyperparameters of all heads jointly: one jitted
+        ``lax.scan`` of full-batch Adam MLL steps (the reference loops
+        N_epoch x num_gp torch steps — GP_prior.py:179-230).
+
+        Returns (params, loss_history [num_epochs]).
+        """
+        norm = self.output_norms(data)
+        opt = optimizer or optax.adam(learning_rate)
+        mask_tree = self.param_mask(params)
+        # Broadcast boolean mask over stacked leaves.
+        label = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask_tree,
+            is_leaf=lambda v: isinstance(v, bool),
+        )
+        tx = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, param_labels=label
+        )
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            return self.mll(p, data, norm)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=num_epochs)
+        return params, losses
+
+    def posterior(self, params: GPParams, x_tr, mask, y) -> Posterior:
+        """Build the cached posterior (the ``pretrain_gp`` analog,
+        Model_learning.py:163-208).  ``x_tr``: [G, M, D]; ``mask``: [G, M];
+        ``y``: [G, M]."""
+        norm = (
+            jnp.maximum(jnp.max(jnp.abs(y) * mask, axis=-1), jnp.finfo(y.dtype).tiny)
+            if self.normalize_outputs
+            else jnp.ones(self.num_heads, y.dtype)
+        )
+        alpha, k_inv = jax.vmap(self._posterior_head)(
+            params.kernel, params.log_sigma_n, x_tr, y, mask, norm
+        )
+        return Posterior(x_tr=x_tr, mask=mask, alpha=alpha, k_inv=k_inv, norm=norm)
+
+    def predict(self, params: GPParams, post: Posterior, x_star: jax.Array):
+        """Posterior mean/variance at ``x_star`` [..., D] for all heads.
+
+        Returns (mean, var) of shape [G, ...]; the hot op of the particle
+        rollout (reference MC_PILCO.py:662-671 -> GP_prior.py:137-155).
+        """
+        return jax.vmap(
+            lambda kp, xt, m, a, ki, nm: self._predict_head(kp, xt, m, a, ki, nm, x_star)
+        )(params.kernel, post.x_tr, post.mask, post.alpha, post.k_inv, post.norm)
+
+    def fit_posterior(self, params: GPParams, data: GPData) -> Posterior:
+        """Posterior over the full (shared) dataset — exact inference path."""
+        x_tr = jnp.broadcast_to(data.x, (self.num_heads,) + data.x.shape)
+        mask = jnp.broadcast_to(data.mask, (self.num_heads,) + data.mask.shape)
+        return self.posterior(params, x_tr, mask, data.y)
