@@ -1,0 +1,443 @@
+"""The MC-PILCO orchestrator: explore -> fit GPs -> optimize policy -> apply.
+
+Host-side trial loop with the same responsibilities as the reference
+``MC_PILCO.reinforce`` (policy_learning/MC_PILCO.py:89-258), driving three
+compiled programs:
+
+1. model fitting — one jitted multi-head MLL scan (MultiGP.fit) + optional
+   on-device SOD selection + posterior build,
+2. policy optimization — one jitted while_loop (trainer.PolicyOptimizer),
+3. system interaction — on-device plant rollout (envs.plants) or an external
+   system behind the same TrialData protocol.
+
+Differences from the reference by design:
+- configuration is dataclasses and explicit factories, not eval'd lambda
+  strings (MC_PILCO.py:467) — see scenarios/ for the shipped configs;
+- checkpoints are npz/json (utils.checkpoint), not pickles;
+- datasets are padded to shape buckets so per-trial growth rarely recompiles.
+
+The 4PMS variant (MC_PILCO.py:754-962) is expressed compositionally: give the
+engine a ``PMSSensors`` (simulated measurement chain inside rollouts), a
+``PMSODEPlant`` (measurement chain on the real system), and set
+``offline_filtering=True`` (filtfilt + central differences on collected data).
+The hardware-in-the-loop variant (MC_PILCO_Experiment, :965-1068) is an
+external plant: pass ``plant=None`` and supply TrialData via
+``add_external_trial``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.plants import TrialData, offline_velocity_estimation
+from ..models import sod as sod_mod
+from ..models.costs import CostBase
+from ..models.dynamics import DynamicsModel
+from ..models.gp import GPData, GPParams, MultiGP
+from ..models.policies import PolicyBase
+from ..ops import linalg
+from ..utils import checkpoint as ckpt
+from ..utils import prng
+from .rollout import InitialStateDistribution, RolloutEngine
+from .trainer import OptResult, PolicyOptimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFitOptions:
+    """Per-trial GP training options (model_optimization_opt_dict analog,
+    test_mcpilco_cartpole.py:190-196)."""
+
+    num_epochs: int = 1501
+    learning_rate: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyOptOptions:
+    """Per-trial knobs of the policy optimizer (the per-trial lists of
+    test_mcpilco_cartpole.py:199-217)."""
+
+    opt_steps: int
+    learning_rate: float = 0.01
+    p_dropout: float = 0.0
+
+
+@dataclasses.dataclass
+class TrialLog:
+    cost_history: np.ndarray
+    std_history: np.ndarray
+    steps_done: int
+    particles_states: np.ndarray
+    particles_inputs: np.ndarray
+    reinit_count: int
+    wall_clock_s: float
+
+
+class MCPilco:
+    """Monte-Carlo PILCO on TPU.
+
+    Parameters mirror the reference constructor (MC_PILCO.py:34-87) but take
+    constructed config objects instead of factory callables + kwarg dicts.
+    """
+
+    def __init__(
+        self,
+        *,
+        dt: float,
+        model: DynamicsModel,
+        gp: MultiGP,
+        policy: PolicyBase,
+        exploration_policy: PolicyBase,
+        cost: CostBase,
+        optimizer: PolicyOptimizer,
+        plant=None,
+        init_dist: Optional[InitialStateDistribution] = None,
+        sod: Optional[sod_mod.SODConfig] = None,
+        offline_filtering: bool = False,
+        offline_filter_cutoff: float = 0.5,
+        gp_sigma_n_init: float = 1.0,
+        gp_init_overrides: Optional[list] = None,
+        seed: int = 1,
+        log_dir: Optional[str] = None,
+        bucket: int = 64,
+        fixed_initial_state: bool = False,
+    ):
+        self.dt = dt
+        self.model = model
+        self.gp = gp
+        self.policy = policy
+        self.exploration_policy = exploration_policy
+        self.cost = cost
+        self.optimizer = optimizer
+        self.plant = plant
+        self.init_dist = init_dist or optimizer.init_dist
+        self.sod = sod
+        self.offline_filtering = offline_filtering
+        self.offline_filter_cutoff = offline_filter_cutoff
+        self.gp_sigma_n_init = gp_sigma_n_init
+        self.gp_init_overrides = gp_init_overrides
+        self.seed = seed
+        self.log_dir = log_dir
+        self.bucket = bucket
+        self.fixed_initial_state = fixed_initial_state
+
+        self.key = prng.root_key(seed)
+        self.policy_params = policy.init_params(
+            prng.fold(prng.stream(self.key, prng.STREAM_POLICY_INIT), 0)
+        )
+        self.expl_params = exploration_policy.init_params(
+            prng.fold(prng.stream(self.key, prng.STREAM_EXPLORATION), 0)
+        )
+        self.gp_params: Optional[GPParams] = None
+        self.posterior = None
+
+        # dataset accumulators (host side, unpadded)
+        self.gp_x = np.zeros((0, model.gp_input_dim), np.float32)
+        self.gp_y = np.zeros((gp.num_heads, 0), np.float32)
+        self.trials: List[TrialData] = []
+        self.trial_logs: List[TrialLog] = []
+        self.num_collections = 0
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ data
+
+    def _ingest(self, trial: TrialData) -> None:
+        """data_to_gp_IO + append (Model_learning.py:123-147)."""
+        states = jnp.asarray(trial.measured, jnp.float32)
+        inputs = jnp.asarray(trial.inputs, jnp.float32)
+        x, y = self.model.training_pairs(states, inputs)
+        self.gp_x = np.concatenate([self.gp_x, np.asarray(x)], axis=0)
+        self.gp_y = np.concatenate([self.gp_y, np.asarray(y)], axis=1)
+        self.trials.append(trial)
+        self.num_collections += 1
+
+    def add_external_trial(self, measured: np.ndarray, inputs: np.ndarray) -> None:
+        """Hardware-in-the-loop data entry (MC_PILCO_Experiment analog,
+        MC_PILCO.py:1016-1068): feed measured states + applied inputs."""
+        if self.offline_filtering:
+            pos = self.model.pos_indices
+            vel = self.model.vel_indices
+            states, inputs = offline_velocity_estimation(
+                measured, inputs, self.dt, pos, vel, filt_cutoff=self.offline_filter_cutoff
+            )
+        else:
+            states = measured
+        self._ingest(TrialData(measured=states, inputs=inputs, true=states, noisy=measured))
+
+    def _padded_data(self) -> GPData:
+        n = self.gp_x.shape[0]
+        cap = linalg.bucket_size(n, self.bucket, self.bucket)
+        x = np.zeros((cap, self.gp_x.shape[1]), np.float32)
+        y = np.zeros((self.gp_y.shape[0], cap), np.float32)
+        x[:n] = self.gp_x
+        y[:, :n] = self.gp_y
+        mask = np.zeros(cap, np.float32)
+        mask[:n] = 1.0
+        return GPData(x=jnp.asarray(x), y=jnp.asarray(y), mask=jnp.asarray(mask))
+
+    # ------------------------------------------------------------ system IO
+
+    def _sample_x0(self, trial_index: int) -> np.ndarray:
+        if self.fixed_initial_state:
+            mean = np.asarray(self.init_dist.mean, np.float32)
+            return mean[0] if mean.ndim == 2 else mean
+        k = prng.fold(prng.stream(self.key, prng.STREAM_SYSTEM), trial_index, 0xA)
+        return np.asarray(self.init_dist.sample_single(k))
+
+    def collect(self, T: float, trial_index: int, exploration: bool) -> TrialData:
+        """Interact with the plant (get_data_from_system analog,
+        MC_PILCO.py:676-699)."""
+        if self.plant is None:
+            raise RuntimeError(
+                "no plant attached: supply data with add_external_trial() "
+                "(hardware-in-the-loop mode)"
+            )
+        pol = self.exploration_policy if exploration else self.policy
+        params = self.expl_params if exploration else self.policy_params
+        x0 = self._sample_x0(trial_index)
+        k = prng.fold(prng.stream(self.key, prng.STREAM_SYSTEM), trial_index)
+        trial = self.plant.rollout(k, x0, pol, params, T, self.dt)
+        if self.offline_filtering:
+            states, inputs = offline_velocity_estimation(
+                trial.noisy,
+                trial.inputs,
+                self.dt,
+                self.model.pos_indices,
+                self.model.vel_indices,
+                filt_cutoff=self.offline_filter_cutoff,
+            )
+            trial = TrialData(
+                measured=states, inputs=inputs, true=trial.true[1:-1], noisy=trial.noisy[1:-1]
+            )
+        self._ingest(trial)
+        return trial
+
+    # ------------------------------------------------------------ model
+
+    def fit_model(self, opts: ModelFitOptions) -> dict:
+        """Re-init GP hyperparameters from scratch and train all heads
+        (reinforce_model analog, Model_learning.py:149-161)."""
+        t0 = time.time()
+        self.gp_params = self.gp.init_params(
+            sigma_n=self.gp_sigma_n_init, per_head_overrides=self.gp_init_overrides
+        )
+        data = self._padded_data()
+        self.gp_params, losses = self.gp.fit(
+            self.gp_params, data, num_epochs=opts.num_epochs, learning_rate=opts.learning_rate
+        )
+        info = {"mll_first": float(losses[0]), "mll_last": float(losses[-1])}
+
+        if self.sod is not None:
+            k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
+            sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)
+            x_tr = jnp.broadcast_to(data.x, (self.gp.num_heads,) + data.x.shape)
+            self.posterior = self.gp.posterior(self.gp_params, x_tr, sel, data.y)
+            info["sod_points"] = np.asarray(jnp.sum(sel, axis=-1)).tolist()
+        else:
+            self.posterior = self.gp.fit_posterior(self.gp_params, data)
+        info["wall_clock_s"] = time.time() - t0
+        info["num_samples"] = int(self.gp_x.shape[0])
+        return info
+
+    # ------------------------------------------------------------ diagnostics
+
+    def one_step_mse(self, trial_index: int = -1) -> np.ndarray:
+        """Per-head one-step prediction MSE on a stored trial
+        (get_model_learning_performance analog, MC_PILCO.py:260-306)."""
+        trial = self.trials[trial_index]
+        states = jnp.asarray(trial.measured, jnp.float32)
+        inputs = jnp.asarray(trial.inputs, jnp.float32)
+        x, y = self.model.training_pairs(states, inputs)
+        mean, _ = self.gp.predict(self.gp_params, self.posterior, x)
+        return np.asarray(jnp.mean((mean - y) ** 2, axis=-1))
+
+    def rollout_mse(self, trial_index: int = -1) -> np.ndarray:
+        """Open-loop rollout MSE per state dim against a stored trial
+        (get_rollout_prediction_performance analog, MC_PILCO.py:308-345)."""
+        trial = self.trials[trial_index]
+        engine = self.optimizer.engine
+        traj = engine.replay(
+            self.gp_params,
+            self.posterior,
+            jnp.asarray(trial.measured[0], jnp.float32),
+            jnp.asarray(trial.inputs, jnp.float32),
+        )
+        return np.asarray(jnp.mean((traj - trial.measured) ** 2, axis=0))
+
+    # ------------------------------------------------------------ policy
+
+    def improve_policy(self, opts: PolicyOptOptions, trial_index: int) -> TrialLog:
+        """One compiled policy-optimization run (reinforce_policy analog)."""
+        t0 = time.time()
+        k = prng.fold(prng.stream(self.key, prng.STREAM_ROLLOUT), trial_index)
+        result: OptResult = self.optimizer.optimize(
+            k,
+            self.policy_params,
+            self.gp_params,
+            self.posterior,
+            num_opt_steps=opts.opt_steps,
+            lr0=opts.learning_rate,
+            p_dropout0=opts.p_dropout,
+            trial_index=trial_index,
+        )
+        self.policy_params = result.policy_params
+        steps = int(result.steps_done)
+        log = TrialLog(
+            cost_history=np.asarray(result.cost_history)[:steps],
+            std_history=np.asarray(result.std_history)[:steps],
+            steps_done=steps,
+            particles_states=np.asarray(result.states),
+            particles_inputs=np.asarray(result.inputs),
+            reinit_count=int(result.reinit_count),
+            wall_clock_s=time.time() - t0,
+        )
+        self.trial_logs.append(log)
+        return log
+
+    # ------------------------------------------------------------ main loop
+
+    def reinforce(
+        self,
+        *,
+        num_trials: int,
+        T_exploration: float,
+        T_control: float,
+        model_fit_options: List[ModelFitOptions],
+        policy_opt_options: List[PolicyOptOptions],
+        num_explorations: int = 1,
+        verbose: bool = True,
+        on_trial_end: Optional[Callable] = None,
+    ):
+        """The full MBRL loop (MC_PILCO.py:89-258).
+
+        Returns the list of TrialLogs.
+        """
+        start_trial = len(self.trial_logs)
+        if self.num_collections == 0:
+            for e in range(num_explorations):
+                if verbose:
+                    print(f"[mc-pilco] exploration {e}")
+                self.collect(T_exploration, trial_index=e, exploration=True)
+
+        for trial in range(start_trial, start_trial + num_trials):
+            if verbose:
+                print(f"[mc-pilco] ===== trial {trial} =====")
+            info = self.fit_model(model_fit_options[min(trial, len(model_fit_options) - 1)])
+            if verbose:
+                print(
+                    f"[mc-pilco] model fit: N={info['num_samples']} "
+                    f"mll {info['mll_first']:.1f} -> {info['mll_last']:.1f} "
+                    f"({info['wall_clock_s']:.1f}s)"
+                    + (f" sod={info.get('sod_points')}" if "sod_points" in info else "")
+                )
+                print(f"[mc-pilco] one-step MSE (last trial): {self.one_step_mse()}")
+                print(f"[mc-pilco] rollout MSE  (last trial): {self.rollout_mse()}")
+            self.save_checkpoint(stage=f"model_trial{trial}")
+
+            log = self.improve_policy(
+                policy_opt_options[min(trial, len(policy_opt_options) - 1)], trial
+            )
+            if verbose:
+                c = log.cost_history
+                print(
+                    f"[mc-pilco] policy opt: {log.steps_done} steps, cost "
+                    f"{c[0]:.2f} -> {c[-1]:.2f}, reinits={log.reinit_count}, "
+                    f"{log.wall_clock_s:.1f}s "
+                    f"({1e3 * log.wall_clock_s / max(log.steps_done, 1):.2f} ms/step)"
+                )
+            self.save_checkpoint(stage=f"policy_trial{trial}")
+
+            if self.plant is not None:
+                self.collect(T_control, trial_index=trial + 1, exploration=False)
+                if verbose:
+                    print(f"[mc-pilco] pre-update one-step MSE: {self.one_step_mse()}")
+                    print(f"[mc-pilco] pre-update rollout  MSE: {self.rollout_mse()}")
+            if on_trial_end is not None:
+                on_trial_end(self, trial)
+        return self.trial_logs
+
+    # ------------------------------------------------------------ persistence
+
+    def save_checkpoint(self, stage: str) -> None:
+        if not self.log_dir:
+            return
+        path = os.path.join(self.log_dir, stage)
+        trees = {
+            "policy_params": self.policy_params,
+            "expl_params": self.expl_params,
+            "gp_x": self.gp_x,
+            "gp_y": self.gp_y,
+        }
+        if self.gp_params is not None:
+            trees["gp_params"] = self.gp_params
+        meta = {
+            "seed": self.seed,
+            "num_collections": self.num_collections,
+            "dt": self.dt,
+            "stage": stage,
+            "trial_measured": [t.measured.tolist() for t in self.trials],
+            "trial_inputs": [t.inputs.tolist() for t in self.trials],
+            "trial_true": [t.true.tolist() for t in self.trials],
+            "cost_histories": [l.cost_history.tolist() for l in self.trial_logs],
+        }
+        ckpt.save(path, trees, meta)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume from a checkpoint directory (load_model_from_log analog,
+        MC_PILCO.py:711-751): restores params + dataset and rebuilds the
+        posterior cache."""
+        templates = {
+            "policy_params": self.policy_params,
+            "expl_params": self.expl_params,
+            "gp_x": self.gp_x,
+            "gp_y": self.gp_y,
+        }
+        if self.gp_params is None:
+            self.gp_params = self.gp.init_params(
+                sigma_n=self.gp_sigma_n_init, per_head_overrides=self.gp_init_overrides
+            )
+        templates["gp_params"] = self.gp_params
+        trees, meta = ckpt.load(path, templates)
+        self.policy_params = trees["policy_params"]
+        self.expl_params = trees["expl_params"]
+        self.gp_x = np.asarray(trees["gp_x"], np.float32).reshape(-1, self.model.gp_input_dim)
+        self.gp_y = np.asarray(trees["gp_y"], np.float32).reshape(self.gp.num_heads, -1)
+        self.gp_params = trees["gp_params"]
+        self.num_collections = int(meta["num_collections"])
+        self.trials = [
+            TrialData(
+                measured=np.asarray(m, np.float32),
+                inputs=np.asarray(i, np.float32),
+                true=np.asarray(t, np.float32),
+                noisy=np.asarray(m, np.float32),
+            )
+            for m, i, t in zip(meta["trial_measured"], meta["trial_inputs"], meta["trial_true"])
+        ]
+        self.trial_logs = [
+            TrialLog(
+                cost_history=np.asarray(c, np.float32),
+                std_history=np.zeros(len(c), np.float32),
+                steps_done=len(c),
+                particles_states=np.zeros(0),
+                particles_inputs=np.zeros(0),
+                reinit_count=0,
+                wall_clock_s=0.0,
+            )
+            for c in meta["cost_histories"]
+        ]
+        # rebuild posterior cache (pretrain_gp analog, MC_PILCO.py:749-751)
+        data = self._padded_data()
+        if self.sod is not None:
+            k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
+            sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)
+            x_tr = jnp.broadcast_to(data.x, (self.gp.num_heads,) + data.x.shape)
+            self.posterior = self.gp.posterior(self.gp_params, x_tr, sel, data.y)
+        else:
+            self.posterior = self.gp.fit_posterior(self.gp_params, data)

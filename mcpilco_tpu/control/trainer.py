@@ -1,0 +1,321 @@
+"""Policy optimization: the whole inner loop as one compiled program.
+
+The reference's ``reinforce_policy`` (MC_PILCO.py:375-613) is a Python loop of
+2000-5000 iterations, each doing a particle rollout, a BPTT backward pass, an
+Adam step, an exponential-smoothing convergence monitor, and learning-rate /
+dropout / early-exit logic, with a NaN guard that re-initializes the policy.
+
+Here ALL of it — including the control logic — lives inside a single jitted
+``lax.while_loop``:
+
+- no host round-trip per step (the reference syncs every iteration),
+- true early exit (the loop predicate includes the convergence flag),
+- learning rate, dropout and step budget are *dynamic* scalars, so changing
+  them between trials never re-compiles,
+- the NaN guard re-samples once with fresh noise and, if the cost is still
+  NaN, re-initializes the policy + optimizer in-graph
+  (reference: resample up to 10x then reinit — MC_PILCO.py:482-501, 572-607;
+  the step budget here is global rather than reset on reinit, which bounds
+  total work).
+
+Convergence monitor parity (MC_PILCO.py:507-519, 543-567):
+
+    ES1 <- a*ES1 + (1-a)(c_t - c_{t-1})
+    ES2 <- a*(ES2 + (1-a)(c_t - c_{t-1} - ES1_prev)^2)
+    dcr <- a*dcr + (1-a) ES1/sqrt(ES2)
+    plateau when |dcr| < thr for num_min_diff_cost consecutive steps after
+    min_step: halve lr (>= lr_min), thr <- max(thr/2, 0.01), reduce dropout,
+    reset Adam moments; at lr_min, stop.
+
+(The reference tests a window of the last n_s values; since a reduction also
+pushes the re-check gate n_s steps out, a consecutive-below counter that
+resets on reduction is equivalent.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.costs import CostBase
+from ..utils import prng
+from .rollout import InitialStateDistribution, RolloutEngine
+
+
+# ---------------------------------------------------------------- Adam
+# Manual functional Adam (semantics of torch.optim.Adam, which the reference
+# builds via eval'd lambda strings — MC_PILCO.py:467, test_mcpilco_cartpole.py:208).
+# Implemented by hand (not optax) so the moments can be reset and the lr can
+# change inside the compiled while_loop without re-initializing a transform.
+
+
+class AdamState(NamedTuple):
+    m: object
+    v: object
+    count: jax.Array
+
+
+def adam_init(params) -> AdamState:
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return AdamState(m=z, v=jax.tree_util.tree_map(jnp.zeros_like, params), count=jnp.zeros((), jnp.int32))
+
+
+def adam_update(grads, state: AdamState, params, lr, b1=0.9, b2=0.999, eps=1e-8):
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    m = jax.tree_util.tree_map(lambda mm, g: b1 * mm + (1 - b1) * g, state.m, grads)
+    v = jax.tree_util.tree_map(lambda vv, g: b2 * vv + (1 - b2) * g * g, state.v, grads)
+    bc1 = 1.0 - b1**t
+    bc2 = 1.0 - b2**t
+    new_params = jax.tree_util.tree_map(
+        lambda p, mm, vv: p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2) + eps), params, m, v
+    )
+    return new_params, AdamState(m=m, v=v, count=count)
+
+
+# ---------------------------------------------------------------- optimizer
+
+
+class OptResult(NamedTuple):
+    policy_params: object
+    cost_history: jax.Array  # [max_opt_steps], padded with cost at exit
+    std_history: jax.Array
+    steps_done: jax.Array
+    states: jax.Array  # last rollout [T, P, ds]
+    inputs: jax.Array  # last rollout [T, P, du]
+    reinit_count: jax.Array
+    final_lr: jax.Array
+    final_p_dropout: jax.Array
+
+
+class _Carry(NamedTuple):
+    step: jax.Array
+    done: jax.Array
+    params: object
+    adam: AdamState
+    lr: jax.Array
+    p_drop: jax.Array
+    thr: jax.Array
+    gate_step: jax.Array
+    consec: jax.Array
+    es1: jax.Array
+    es2: jax.Array
+    dcr: jax.Array
+    cost_prev: jax.Array
+    reinit_count: jax.Array
+    cost_hist: jax.Array
+    std_hist: jax.Array
+    states: jax.Array
+    inputs: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyOptimizer:
+    """Static config of the policy-gradient optimizer (the
+    policy_optimization_dict analog, test_mcpilco_cartpole.py:198-217)."""
+
+    engine: RolloutEngine
+    cost: CostBase
+    init_dist: InitialStateDistribution
+    num_particles: int
+    horizon: int
+    max_opt_steps: int
+    alpha_diff_cost: float = 0.99
+    min_diff_cost: float = 0.1
+    num_min_diff_cost: int = 200
+    min_step: float = float("inf")
+    lr_reduction_ratio: float = 0.5
+    lr_min: float = 0.001
+    p_drop_reduction: float = 0.0
+    thr_floor: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+    # ------------------------------------------------------------------
+
+    def _rollout_cost(self, params, gp_params, posterior, key, p_drop, trial_index):
+        s0 = self.init_dist.sample(
+            prng.stream(key, prng.STREAM_INIT_PARTICLES), self.num_particles
+        )
+        res = self.engine.simulate(
+            key, params, gp_params, posterior, s0, self.horizon, p_dropout=p_drop
+        )
+        c, s = self.cost(res.states, res.inputs, trial_index)
+        return c, (s, res.states, res.inputs)
+
+    @partial(jax.jit, static_argnums=0)
+    def optimize(
+        self,
+        key: jax.Array,
+        policy_params,
+        gp_params,
+        posterior,
+        num_opt_steps: jax.Array,
+        lr0: jax.Array,
+        p_dropout0: jax.Array,
+        trial_index: jax.Array = 0,
+    ) -> OptResult:
+        """Run up to ``num_opt_steps`` (<= max_opt_steps) Adam steps."""
+        f32 = jnp.float32
+        grad_fn = jax.value_and_grad(self._rollout_cost, has_aux=True)
+        mask = self.engine.policy.param_mask(policy_params)
+
+        def masked(grads):
+            return jax.tree_util.tree_map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+            )
+
+        lr0 = jnp.asarray(lr0, f32)
+        p_dropout0 = jnp.asarray(p_dropout0, f32)
+        num_opt_steps = jnp.minimum(jnp.asarray(num_opt_steps, jnp.int32), self.max_opt_steps)
+
+        # --- probe rollout to initialize the convergence monitor
+        # (MC_PILCO.py:430-463; dropout IS applied there despite the name)
+        probe_key = prng.fold(key, 0x9999)
+        (c0, (s0_, st0, in0)), _ = grad_fn(
+            policy_params, gp_params, posterior, probe_key, p_dropout0, trial_index
+        )
+        cost_prev0 = jnp.where(jnp.isnan(c0), 0.0, c0)
+
+        def reinit_all(c: _Carry, kt) -> _Carry:
+            kp = prng.stream(kt, prng.STREAM_POLICY_INIT)
+            new_params = self.engine.policy.reinit(c.params, kp)
+            return c._replace(
+                params=new_params,
+                adam=adam_init(new_params),
+                lr=lr0,
+                p_drop=p_dropout0,
+                thr=jnp.asarray(self.min_diff_cost, f32),
+                gate_step=jnp.asarray(self.min_step, f32),
+                consec=jnp.zeros((), jnp.int32),
+                es1=jnp.zeros((), f32),
+                es2=jnp.zeros((), f32),
+                dcr=jnp.zeros((), f32),
+                cost_prev=jnp.zeros((), f32),
+                reinit_count=c.reinit_count + 1,
+            )
+
+        def body(c: _Carry) -> _Carry:
+            kt = prng.fold(key, c.step, c.reinit_count)
+            (cost, (std, states, inputs)), grads = grad_fn(
+                c.params, gp_params, posterior, kt, c.p_drop, trial_index
+            )
+
+            # NaN guard: one resample with fresh noise (MC_PILCO.py:482-501)
+            def retry(_):
+                return grad_fn(
+                    c.params, gp_params, posterior, prng.fold(kt, 0x7E781), c.p_drop, trial_index
+                )
+
+            def keep(_):
+                return (cost, (std, states, inputs)), grads
+
+            (cost, (std, states, inputs)), grads = jax.lax.cond(
+                jnp.isnan(cost), retry, keep, None
+            )
+            is_nan = jnp.isnan(cost)
+
+            # --- Adam step (skipped on NaN)
+            new_params, new_adam = adam_update(
+                masked(grads), c.adam, c.params, c.lr, self.adam_b1, self.adam_b2, self.adam_eps
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(is_nan, o, n), new_params, c.params
+            )
+
+            # --- convergence monitor (MC_PILCO.py:507-519)
+            dc = cost - c.cost_prev
+            es1 = self.alpha_diff_cost * c.es1 + (1 - self.alpha_diff_cost) * dc
+            es2 = self.alpha_diff_cost * (
+                c.es2 + (1 - self.alpha_diff_cost) * (dc - c.es1) ** 2
+            )
+            dcr = self.alpha_diff_cost * c.dcr + (1 - self.alpha_diff_cost) * (
+                es1 / jnp.sqrt(es2 + jnp.finfo(f32).tiny)
+            )
+
+            below = jnp.abs(dcr) < c.thr
+            consec = jnp.where(below, c.consec + 1, 0)
+
+            # --- plateau logic (MC_PILCO.py:543-567)
+            gate = (c.step.astype(f32) > c.gate_step) & (consec >= self.num_min_diff_cost)
+            can_reduce = c.lr > self.lr_min * (1 + 1e-6)
+            reduce_lr = gate & can_reduce
+            exit_now = gate & ~can_reduce
+
+            lr = jnp.where(reduce_lr, jnp.maximum(c.lr * self.lr_reduction_ratio, self.lr_min), c.lr)
+            thr = jnp.where(reduce_lr, jnp.maximum(c.thr * 0.5, self.thr_floor), c.thr)
+            gate_step = jnp.where(
+                reduce_lr, c.step.astype(f32) + self.num_min_diff_cost, c.gate_step
+            )
+            p_drop = jnp.where(
+                reduce_lr, jnp.maximum(c.p_drop - self.p_drop_reduction, 0.0), c.p_drop
+            )
+            consec = jnp.where(reduce_lr, 0, consec)
+            fresh_adam = adam_init(new_params)
+            new_adam = jax.tree_util.tree_map(
+                lambda f, n: jnp.where(reduce_lr, f, n), fresh_adam, new_adam
+            )
+
+            cost_logged = jnp.where(is_nan, c.cost_prev, cost)
+            new_c = c._replace(
+                step=c.step + 1,
+                done=c.done | exit_now,
+                params=new_params,
+                adam=new_adam,
+                lr=lr,
+                p_drop=p_drop,
+                thr=thr,
+                gate_step=gate_step,
+                consec=consec,
+                es1=es1,
+                es2=es2,
+                dcr=dcr,
+                cost_prev=cost_logged,
+                cost_hist=c.cost_hist.at[c.step].set(cost_logged),
+                std_hist=c.std_hist.at[c.step].set(jnp.where(is_nan, 0.0, std)),
+                states=jnp.where(is_nan, c.states, states),
+                inputs=jnp.where(is_nan, c.inputs, inputs),
+            )
+            # full re-init if even the retry was NaN (MC_PILCO.py:572-607)
+            return jax.lax.cond(is_nan, lambda cc: reinit_all(cc, kt), lambda cc: cc, new_c)
+
+        def cond(c: _Carry):
+            return (c.step < num_opt_steps) & ~c.done
+
+        carry = _Carry(
+            step=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            params=policy_params,
+            adam=adam_init(policy_params),
+            lr=lr0,
+            p_drop=p_dropout0,
+            thr=jnp.asarray(self.min_diff_cost, f32),
+            gate_step=jnp.asarray(self.min_step, f32),
+            consec=jnp.zeros((), jnp.int32),
+            es1=jnp.zeros((), f32),
+            es2=jnp.zeros((), f32),
+            dcr=jnp.zeros((), f32),
+            cost_prev=cost_prev0,
+            reinit_count=jnp.zeros((), jnp.int32),
+            cost_hist=jnp.zeros(self.max_opt_steps, f32),
+            std_hist=jnp.zeros(self.max_opt_steps, f32),
+            states=st0,
+            inputs=in0,
+        )
+        out = jax.lax.while_loop(cond, body, carry)
+        return OptResult(
+            policy_params=out.params,
+            cost_history=out.cost_hist,
+            std_history=out.std_hist,
+            steps_done=out.step,
+            states=out.states,
+            inputs=out.inputs,
+            reinit_count=out.reinit_count,
+            final_lr=out.lr,
+            final_p_dropout=out.p_drop,
+        )

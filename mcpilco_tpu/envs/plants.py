@@ -1,0 +1,200 @@
+"""The "real system" protocol: host-facing plant rollouts.
+
+A plant exposes ``rollout(key, s0, policy_fn, T, dt) -> TrialData`` where
+``policy_fn(state [ds], t_step) -> u [du]`` operates on *measured* states.
+The three concrete plants mirror the reference's simulation tier
+(simulation_class/model.py, model_mujoco.py):
+
+- :class:`ODEPlant`    <- model.py:18-68  (additive Gaussian measurement
+  noise on all dims; policy sees the noisy state)
+- :class:`PMSODEPlant` <- model.py:71-141 (positions measured noisily,
+  velocities by causal differentiation + online 1st-order Butterworth)
+- ``MujocoPlant``      <- model_mujoco.py:20-76 (in envs/mujoco_plant.py,
+  gated on the ``mujoco`` package)
+
+Unlike the reference (host NumPy + scipy odeint per step), ODE plants run the
+*entire* trial on-device: one jitted ``lax.scan`` over control steps with RK4
+sub-stepping, with the policy evaluated in-graph.  A host-callback variant
+(``rollout_with_host_policy``) remains for policies that are not JAX-traceable
+(e.g. hardware-in-the-loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import filters
+from ..utils import prng
+from . import ode as ode_mod
+
+
+class TrialData(NamedTuple):
+    """One system interaction, in the layout the model learner consumes.
+
+    measured: [N, ds] what the policy saw / what gets modeled
+    inputs:   [N, du]
+    true:     [N, ds] noiseless simulator states
+    noisy:    [N, ds] raw noisy measurements (pre-filter; = measured for
+              fully-measurable plants)
+    """
+
+    measured: np.ndarray
+    inputs: np.ndarray
+    true: np.ndarray
+    noisy: np.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class ODEPlant:
+    """Fully-measurable ODE plant (model.py:18-68).
+
+    ``noise_std`` is the per-dim measurement noise std; the policy acts on the
+    noisy state, dynamics evolve the true state.
+    """
+
+    ode_name: str
+    noise_std: Tuple[float, ...] = ()
+    substeps: int = 20
+
+    def __post_init__(self):
+        object.__setattr__(self, "noise_std", tuple(float(v) for v in np.asarray(self.noise_std).reshape(-1)))
+
+    @property
+    def ode(self) -> Callable:
+        return ode_mod.REGISTRY[self.ode_name]
+
+    def _device_rollout(self, policy, policy_params):
+        """Build the jitted on-device trial rollout for a JAX policy."""
+
+        @partial(jax.jit, static_argnums=(3,))
+        def run(key, s0, t_offset, num_steps, dt):
+            noise = jnp.asarray(self.noise_std, s0.dtype)
+            k_meas = prng.stream(key, prng.STREAM_MEAS_NOISE)
+            k_pol = prng.stream(key, prng.STREAM_EXPLORATION)
+
+            noisy0 = s0 + noise * jax.random.normal(prng.fold(k_meas, 0), s0.shape, s0.dtype)
+
+            def step(carry, i):
+                s, meas = carry
+                u = policy.apply(policy_params, meas[None, :], i, key=prng.fold(k_pol, i))[0]
+                s_next = ode_mod.integrate(self.ode, s, u, dt, self.substeps)
+                meas_next = s_next + noise * jax.random.normal(
+                    prng.fold(k_meas, i + 1), s.shape, s.dtype
+                )
+                return (s_next, meas_next), (s_next, meas_next, u)
+
+            (_, meas_last), (states, measured, inputs) = jax.lax.scan(
+                step, (s0, noisy0), jnp.arange(num_steps)
+            )
+            u_last = policy.apply(policy_params, meas_last[None, :], num_steps,
+                                  key=prng.fold(k_pol, num_steps))[0]
+            states = jnp.concatenate([s0[None], states], axis=0)
+            measured = jnp.concatenate([noisy0[None], measured], axis=0)
+            inputs = jnp.concatenate([inputs, u_last[None]], axis=0)
+            return measured, inputs, states
+
+        return run
+
+    def rollout(self, key, s0, policy, policy_params, T: float, dt: float) -> TrialData:
+        """Simulate ``T`` seconds at sampling time ``dt`` (N = T/dt + 1 samples,
+        matching model.py:42-68)."""
+        num_steps = int(round(T / dt))
+        run = self._device_rollout(policy, policy_params)
+        measured, inputs, states = run(key, jnp.asarray(s0, jnp.float32), 0.0, num_steps, dt)
+        m = np.asarray(measured)
+        return TrialData(measured=m, inputs=np.asarray(inputs), true=np.asarray(states), noisy=m)
+
+
+@dataclasses.dataclass(frozen=True)
+class PMSODEPlant(ODEPlant):
+    """Partially-measurable ODE plant (model.py:71-141): the policy sees
+    noisy positions and online-filtered finite-difference velocities."""
+
+    pos_indices: Tuple[int, ...] = ()
+    vel_indices: Tuple[int, ...] = ()
+    fc: float = 0.5  # online butter(1, fc) cutoff (model.py:116)
+
+    def __post_init__(self):
+        super().__post_init__()
+        object.__setattr__(self, "pos_indices", tuple(int(i) for i in np.asarray(self.pos_indices)))
+        object.__setattr__(self, "vel_indices", tuple(int(i) for i in np.asarray(self.vel_indices)))
+
+    def _device_rollout(self, policy, policy_params):
+        b, a = filters.butter1(self.fc)
+        pos = jnp.array(self.pos_indices)
+        vel = jnp.array(self.vel_indices)
+
+        @partial(jax.jit, static_argnums=(3,))
+        def run(key, s0, t_offset, num_steps, dt):
+            noise = jnp.asarray(self.noise_std, s0.dtype)
+            k_meas = prng.stream(key, prng.STREAM_MEAS_NOISE)
+            k_pol = prng.stream(key, prng.STREAM_EXPLORATION)
+
+            def step(carry, i):
+                s, noisy_prev, meas_prev = carry
+                u = policy.apply(policy_params, meas_prev[None, :], i, key=prng.fold(k_pol, i))[0]
+                s_next = ode_mod.integrate(self.ode, s, u, dt, self.substeps)
+                full_noise = noise * jax.random.normal(prng.fold(k_meas, i + 1), s.shape, s.dtype)
+                noisy = s_next + full_noise
+                # positions measured; velocities by causal diff of measured
+                # positions then online low-pass (model.py:128-136)
+                meas_pos = noisy[pos]
+                noisy_vel = (meas_pos - meas_prev[pos]) / dt
+                meas_vel = filters.iir_step(b, a, noisy_vel, noisy_prev[vel], meas_prev[vel])
+                noisy = noisy.at[vel].set(noisy_vel)
+                meas = s_next.at[pos].set(meas_pos).at[vel].set(meas_vel)
+                return (s_next, noisy, meas), (s_next, noisy, meas, u)
+
+            carry0 = (s0, s0, s0)  # noisy_states[0] = meas_states[0] = s0 (model.py:111-113)
+            (_, _, meas_last), (states, noisy, measured, inputs) = jax.lax.scan(
+                step, carry0, jnp.arange(num_steps)
+            )
+            u_last = policy.apply(policy_params, meas_last[None, :], num_steps,
+                                  key=prng.fold(k_pol, num_steps))[0]
+            states = jnp.concatenate([s0[None], states], axis=0)
+            noisy = jnp.concatenate([s0[None], noisy], axis=0)
+            measured = jnp.concatenate([s0[None], measured], axis=0)
+            inputs = jnp.concatenate([inputs, u_last[None]], axis=0)
+            return measured, inputs, states, noisy
+
+        return run
+
+    def rollout(self, key, s0, policy, policy_params, T: float, dt: float) -> TrialData:
+        num_steps = int(round(T / dt))
+        run = self._device_rollout(policy, policy_params)
+        measured, inputs, states, noisy = run(key, jnp.asarray(s0, jnp.float32), 0.0, num_steps, dt)
+        return TrialData(
+            measured=np.asarray(measured),
+            inputs=np.asarray(inputs),
+            true=np.asarray(states),
+            noisy=np.asarray(noisy),
+        )
+
+
+def offline_velocity_estimation(
+    noisy: np.ndarray,
+    inputs: np.ndarray,
+    dt: float,
+    pos_indices,
+    vel_indices,
+    filt_order: int = 2,
+    filt_cutoff: float = 0.5,
+):
+    """Offline state estimation for model training (MC_PILCO.py:940-962):
+    zero-phase Butterworth on positions, central-difference velocities, then
+    trim the first/last samples.  Returns (states, inputs_trimmed)."""
+    b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
+    n = noisy.shape[0]
+    out = np.zeros((n - 2, noisy.shape[1]))
+    for p_i, v_i in zip(pos_indices, vel_indices):
+        pos = np.asarray(filters.filtfilt(b, a, jnp.asarray(noisy[:, p_i])))
+        vel = (pos[2:] - pos[:-2]) / (2.0 * dt)
+        out[:, p_i] = pos[1:-1]
+        out[:, v_i] = vel
+    return out, inputs[1:-1, :]

@@ -1,0 +1,140 @@
+"""Cost functions over particle trajectories.
+
+A cost is a static config object with
+``stage_costs(states [T,P,ds], inputs [T,P,du], trial_index) -> [T,P]``;
+:func:`expected_cost` reduces to the scalar objective exactly as the reference
+``Expected_cost`` does (policy_learning/Cost_function.py:15-36):
+
+    total = sum_t mean_particles(c_t),   spread = sum_t std_particles(c_t)
+
+Reference parity:
+- :class:`SaturatedDistance`           <- Cost_function.py:66-101
+- :class:`QuadraticDistance`           <- Cost_function.py:39-63
+- :class:`SaturatedTrajectoryTracking` <- Cost_function.py:104-147
+- :class:`CartPoleCost`                <- Cost_function.py:150-182
+  (|theta| makes both swing-up directions equivalent)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import _as_tuple
+
+
+def expected_cost(stage: jax.Array):
+    """Reduce [T, P] stage costs to (sum of means, sum of stds).
+
+    The particle std uses the unbiased estimator (torch.std default) and is
+    detached from the gradient in the reference (Cost_function.py:33-35);
+    callers should ``lax.stop_gradient`` the second output if differentiating.
+    """
+    mean_t = jnp.mean(stage, axis=1)
+    std_t = jnp.std(stage, axis=1, ddof=1)
+    return jnp.sum(mean_t), jnp.sum(jax.lax.stop_gradient(std_t))
+
+
+class CostBase:
+    def stage_costs(self, states, inputs, trial_index=0):
+        raise NotImplementedError
+
+    def __call__(self, states, inputs, trial_index=0):
+        return expected_cost(self.stage_costs(states, inputs, trial_index))
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadraticDistance(CostBase):
+    """Squared lengthscale-weighted distance to a target state
+    (``Expected_distance``, Cost_function.py:39-63)."""
+
+    target_state: Tuple[float, ...]
+    lengthscales: Tuple[float, ...]
+    active_dims: Optional[Tuple[int, ...]] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "target_state", tuple(np.asarray(self.target_state, float)))
+        object.__setattr__(self, "lengthscales", tuple(np.asarray(self.lengthscales, float).reshape(-1)))
+        object.__setattr__(self, "active_dims", _as_tuple(self.active_dims))
+
+    def _dist(self, states):
+        if self.active_dims is not None:
+            states = states[..., jnp.array(self.active_dims)]
+        ls = jnp.asarray(self.lengthscales, states.dtype)
+        tgt = jnp.asarray(self.target_state, states.dtype)
+        d = (states - tgt) / ls
+        return jnp.sum(d * d, axis=-1)
+
+    def stage_costs(self, states, inputs, trial_index=0):
+        return self._dist(states)
+
+
+@dataclasses.dataclass(frozen=True)
+class SaturatedDistance(QuadraticDistance):
+    """1 - exp(-squared weighted distance) (Cost_function.py:80-101)."""
+
+    def stage_costs(self, states, inputs, trial_index=0):
+        return 1.0 - jnp.exp(-self._dist(states))
+
+
+@dataclasses.dataclass(frozen=True)
+class SaturatedTrajectoryTracking(CostBase):
+    """Saturated tracking cost vs a time-indexed target trajectory
+    (Cost_function.py:124-147).  ``lengthscales`` may be per-trial
+    ([n_trials, d] with ``per_trial=True``)."""
+
+    target_traj: Tuple[Tuple[float, ...], ...]
+    lengthscales: Tuple
+    per_trial: bool = False
+    used_indices: Optional[Tuple[int, ...]] = None
+
+    def __post_init__(self):
+        tt = tuple(tuple(float(v) for v in row) for row in np.asarray(self.target_traj))
+        object.__setattr__(self, "target_traj", tt)
+        ls = np.asarray(self.lengthscales, float)
+        object.__setattr__(
+            self, "lengthscales", tuple(map(tuple, ls)) if ls.ndim == 2 else tuple(ls.reshape(-1))
+        )
+        object.__setattr__(self, "used_indices", _as_tuple(self.used_indices))
+
+    def stage_costs(self, states, inputs, trial_index=0):
+        T = states.shape[0]
+        traj = jnp.asarray(self.target_traj, states.dtype)[:T]  # [T, ds]
+        ls = jnp.asarray(self.lengthscales, states.dtype)
+        if self.per_trial:
+            ls = ls[trial_index]
+        err = states - traj[:, None, :]
+        if self.used_indices is not None:
+            idx = jnp.array(self.used_indices)
+            err = err[..., idx]
+            ls = ls[..., idx] if ls.ndim else ls
+        d = jnp.sum((err / ls) ** 2, axis=-1)
+        return 1.0 - jnp.exp(-d)
+
+
+@dataclasses.dataclass(frozen=True)
+class CartPoleCost(CostBase):
+    """1 - exp(-((|theta|-theta*)/l_th)^2 - ((x-x*)/l_x)^2)
+    (Cost_function.py:170-182); target_state = (theta*, x*)."""
+
+    target_state: Tuple[float, float]
+    lengthscales: Tuple[float, float]
+    angle_index: int = 2
+    pos_index: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "target_state", tuple(np.asarray(self.target_state, float)))
+        object.__setattr__(self, "lengthscales", tuple(np.asarray(self.lengthscales, float)))
+
+    def stage_costs(self, states, inputs, trial_index=0):
+        theta = states[..., self.angle_index]
+        x = states[..., self.pos_index]
+        t_th, t_x = self.target_state
+        l_th, l_x = self.lengthscales
+        return 1.0 - jnp.exp(
+            -(((jnp.abs(theta) - t_th) / l_th) ** 2) - ((x - t_x) / l_x) ** 2
+        )
