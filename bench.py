@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: policy-optimization throughput on the flagship scenario.
+
+Measures the per-step wall-clock of the compiled MC-PILCO policy-optimization
+loop under the reference's flagship cartpole configuration (400 particles,
+60-step BPTT horizon, 2 GP heads with SE+P(2) kernel on ~360 training points,
+200-basis policy, dropout 0.25) and compares against the reference PyTorch
+implementation's hot loop measured on CPU float64 / 1 thread via
+scripts/bench_reference_torch.py (reference config: test_mcpilco_cartpole.py:
+42-47, 199-216).  The baseline number is stored in bench_baseline.json.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "ms/step", "vs_baseline": N}
+(vs_baseline > 1 means this framework is faster by that factor.)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcpilco_tpu.control.mc_pilco import ModelFitOptions
+    from mcpilco_tpu.scenarios import cartpole as scen
+
+    log(f"[bench] devices: {jax.devices()}")
+
+    cfg = scen.CartpoleConfig(seed=1)
+    agent, _ = scen.build(cfg)
+
+    # one exploration + five synthetic "trials" worth of random-input data so
+    # the dataset matches the final-trial size the reference reaches (~360)
+    for i in range(6):
+        agent.collect(cfg.T_exploration, trial_index=i, exploration=True)
+    agent.fit_model(ModelFitOptions(num_epochs=1501))
+    log(f"[bench] dataset N={agent.gp_x.shape[0]}, one-step MSE={agent.one_step_mse()}")
+
+    opt = agent.optimizer
+    key = jax.random.PRNGKey(7)
+
+    # compile + warmup (20 steps)
+    t0 = time.time()
+    res = opt.optimize(
+        key, agent.policy_params, agent.gp_params, agent.posterior,
+        num_opt_steps=20, lr0=0.01, p_dropout0=0.25,
+    )
+    jax.block_until_ready(res.cost_history)
+    log(f"[bench] compile+warmup: {time.time() - t0:.1f}s")
+
+    n_steps = 300
+    t0 = time.time()
+    res = opt.optimize(
+        jax.random.fold_in(key, 1), agent.policy_params, agent.gp_params, agent.posterior,
+        num_opt_steps=n_steps, lr0=0.01, p_dropout0=0.25,
+    )
+    jax.block_until_ready(res.cost_history)
+    elapsed = time.time() - t0
+    steps = int(res.steps_done)
+    ms_per_step = 1e3 * elapsed / max(steps, 1)
+    c = np.asarray(res.cost_history)
+    log(
+        f"[bench] {steps} steps in {elapsed:.2f}s -> {ms_per_step:.2f} ms/step; "
+        f"cost {c[0]:.2f} -> {c[steps - 1]:.2f}; reinits={int(res.reinit_count)}"
+    )
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    baseline_ms = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline_ms = json.load(f)["reference_policy_opt_ms_per_step"]
+
+    out = {
+        "metric": "cartpole_policy_opt_step_time",
+        "value": round(ms_per_step, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(baseline_ms / ms_per_step, 2) if baseline_ms else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

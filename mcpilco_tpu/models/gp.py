@@ -79,11 +79,11 @@ class MultiGP:
 
     kernel: Kernel
     num_heads: int
-    # Relative diagonal jitter: empirically the smallest value for which the
-    # TPU's blocked f32 Cholesky survives 1500 MLL epochs on a near-noiseless
-    # SE+P(2) fit is 1e-5; 3e-5 leaves margin for larger N (see tests and
-    # bench).  CPU f64 golden tests can lower it.
-    jitter: float = 3e-5
+    # Relative diagonal jitter: the TPU's blocked f32 Cholesky needs ~1e-5 at
+    # N~64 and ~1e-4 at N~384 to survive 1500 MLL epochs on near-noiseless
+    # SE+P(2) fits (roundoff grows with N); 1e-4 costs no measurable accuracy
+    # (one-step MSE unchanged in bench).  CPU f64 golden tests can lower it.
+    jitter: float = 1e-4
     train_sigma_n: bool = True
     normalize_outputs: bool = False
 
@@ -134,9 +134,14 @@ class MultiGP:
         return alpha * mask, k_inv
 
     def _predict_head(self, kparams, x_tr, mask, alpha, k_inv, norm, x_star):
+        # HIGHEST precision is load-bearing: the variance is a difference of
+        # nearly-equal terms, and the TPU's default bf16 matmuls corrupt it
+        # enough to drown the rollout in spurious sampling noise.
+        hp = jax.lax.Precision.HIGHEST
         k_star = self.kernel.gram(kparams, x_star, x_tr) * mask  # [P, M]
-        mean = self.kernel.mean(kparams, x_star) + k_star @ alpha
-        var = self.kernel.diag(kparams, x_star) - jnp.sum((k_star @ k_inv) * k_star, axis=-1)
+        mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
+        quad = jnp.sum(jnp.matmul(k_star, k_inv, precision=hp) * k_star, axis=-1)
+        var = self.kernel.diag(kparams, x_star) - quad
         var = jnp.maximum(var, 0.0)  # f32 guard; eliminates sqrt-NaN at the source
         return mean * norm, var * norm * norm
 
@@ -189,13 +194,23 @@ class MultiGP:
             return self.mll(p, data, norm)
 
         def step(carry, _):
-            p, s = carry
+            p, s, last_loss = carry
             loss, g = jax.value_and_grad(loss_fn)(p)
-            updates, s = tx.update(g, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
+            finite = jnp.isfinite(loss)
+            updates, s_new = tx.update(g, s, p)
+            p_new = optax.apply_updates(p, updates)
+            # NaN guard: if the f32 Cholesky tips over near convergence, keep
+            # the last good hyperparameters instead of poisoning the scan
+            # (the f32/TPU analog of simply never failing in f64).
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            logged = jnp.where(finite, loss, last_loss)
+            return (keep(p_new, p), keep(s_new, s), logged), logged
 
-        (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=num_epochs)
+        (params, _, _), losses = jax.lax.scan(
+            step, (params, opt_state, jnp.asarray(jnp.inf, data.x.dtype)), None, length=num_epochs
+        )
         return params, losses
 
     def posterior(self, params: GPParams, x_tr, mask, y) -> Posterior:

@@ -313,7 +313,12 @@ class MPK(Kernel):
         if sigma_diag is None:
             sd = jnp.ones((self.degree, nf), dtype)
         else:
-            sd = jnp.asarray(sigma_diag, dtype).reshape(self.degree, nf)
+            sd = jnp.asarray(sigma_diag, dtype)
+            sd = (
+                sd * jnp.ones((self.degree, nf), dtype)
+                if sd.ndim < 2
+                else sd.reshape(self.degree, nf)
+            )
         return {"log_sigma_diag": jnp.log(sd)}
 
     def param_mask(self, params) -> dict:

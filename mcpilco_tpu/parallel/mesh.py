@@ -1,0 +1,51 @@
+"""Device mesh helpers: particle-axis data parallelism.
+
+The reference has no distributed backend at all (SURVEY §2.6); its only batch
+axis is the particle axis on a single device.  The TPU-native scaling story:
+
+- **particles** shard across the mesh axis ``"p"`` (pure data parallelism —
+  every particle is independent given the policy + posterior),
+- policy/GP parameters and the posterior cache are replicated,
+- the only cross-chip communication is the psum of the per-particle cost mean
+  and of the policy gradient, which XLA emits automatically from the sharding
+  constraints and lowers onto ICI.
+
+Per-shard randomness stays deterministic because every random draw is a pure
+function of (root key, step, time, stream) — see utils/prng.py — and draws are
+made on the full logical shapes, which XLA partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PARTICLE_AXIS = "p"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (PARTICLE_AXIS,))
+
+
+def particle_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (particle) axis."""
+    return NamedSharding(mesh, P(PARTICLE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_particles(mesh: Mesh, x: jax.Array) -> jax.Array:
+    return jax.lax.with_sharding_constraint(x, particle_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.lax.with_sharding_constraint(a, sh), tree)

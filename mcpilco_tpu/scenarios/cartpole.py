@@ -61,14 +61,20 @@ class CartpoleConfig:
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpoleConfig":
-        """Tiny config for CI smoke tests."""
+        """Tiny config for CI smoke tests.
+
+        Uses the SE kernel: the polynomial (MPK) part needs the full epoch
+        budget before its weights shrink enough to extrapolate safely, and a
+        smoke budget would leave it wild out-of-distribution.
+        """
         return dataclasses.replace(
             self,
+            kernel="se",
             num_trials=1,
             num_basis=40,
             num_particles=50,
             opt_steps=(60,),
-            gp_epochs=150,
+            gp_epochs=300,
             num_min_diff_cost=20,
             min_step=10.0,
         )
