@@ -359,6 +359,8 @@ class MCPilco:
                 if verbose:
                     print(f"[mc-pilco] pre-update one-step MSE: {self.one_step_mse()}")
                     print(f"[mc-pilco] pre-update rollout  MSE: {self.rollout_mse()}")
+                # post-interaction checkpoint (MC_PILCO.py:245-250)
+                self.save_checkpoint(stage=f"complete_trial{trial}")
             if on_trial_end is not None:
                 on_trial_end(self, trial)
         return self.trial_logs

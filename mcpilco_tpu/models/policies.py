@@ -38,9 +38,18 @@ from .kernels import HIGHEST, _as_tuple
 
 
 def squash(u: jax.Array, u_max) -> jax.Array:
-    """Smoothly constrain inputs to (-u_max, u_max) (Policy.py:52-60)."""
+    """Smoothly constrain inputs to (-u_max, u_max); ``u_max`` may be a
+    scalar or per-actuator vector (Policy.py:52-60)."""
     um = jnp.asarray(u_max, u.dtype)
     return um * jnp.tanh(u / um)
+
+
+def _umax_static(u_max):
+    """Normalize u_max to a hashable static value (float or tuple)."""
+    import numpy as _np
+
+    a = _np.asarray(u_max, float)
+    return float(a) if a.ndim == 0 else tuple(a.reshape(-1))
 
 
 class PolicyBase:
@@ -110,6 +119,10 @@ class SumOfSinusoids(PolicyBase):
     amplitude_max: float
     squash_output: bool = False
     u_max: float = 1.0
+    # step-index -> seconds conversion: omegas are in rad/s and the reference
+    # host rollout evaluates sin(omega * t_seconds + phase)
+    # (simulation_class/model.py:56-58 passes seconds)
+    dt: float = 1.0
 
     def init_params(self, key, dtype=jnp.float32) -> dict:
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -126,7 +139,7 @@ class SumOfSinusoids(PolicyBase):
         return {"amplitudes": amp, "omega": omega, "phases": phase}
 
     def apply(self, params, states, t, key=None, p_dropout=0.0):
-        tt = jnp.asarray(t, states.dtype)
+        tt = jnp.asarray(t, states.dtype) * self.dt
         u = jnp.sum(params["amplitudes"] * jnp.sin(params["omega"] * tt + params["phases"]), axis=0)
         u = jnp.broadcast_to(u, states.shape[:-1] + (self.input_dim,))
         return squash(u, self.u_max) if self.squash_output else u
@@ -161,6 +174,7 @@ class SumOfGaussians(PolicyBase):
     reinit_weight: Optional[float] = None
 
     def __post_init__(self):
+        object.__setattr__(self, "u_max", _umax_static(self.u_max))
         for f in ("scale_factor", "reinit_lengthscales", "reinit_centers"):
             v = getattr(self, f)
             if v is not None:
@@ -177,7 +191,9 @@ class SumOfGaussians(PolicyBase):
         else:
             centers = jnp.asarray(centers, dtype)
         if weight is None:
-            weight = self.u_max * (jax.random.uniform(kw, (self.input_dim, nb), dtype) - 0.5)
+            um = jnp.asarray(self.u_max, dtype)
+            um = um.reshape(-1, 1) if um.ndim else um
+            weight = um * (jax.random.uniform(kw, (self.input_dim, nb), dtype) - 0.5)
         else:
             weight = jnp.asarray(weight, dtype)
         p = {"log_lengthscales": jnp.log(ls), "centers": centers, "weight": weight}
@@ -208,6 +224,7 @@ class SumOfGaussians(PolicyBase):
             self.reinit_centers if self.reinit_centers is not None else jnp.ones(self.feature_dim), dtype
         )
         w_mag = jnp.asarray(self.reinit_weight if self.reinit_weight is not None else self.u_max, dtype)
+        w_mag = w_mag.reshape(-1, 1) if w_mag.ndim else w_mag
         new = dict(params)
         new["log_lengthscales"] = jnp.log(ls)
         new["centers"] = c_mag * 2.0 * (jax.random.uniform(kc, params["centers"].shape, dtype) - 0.5)
@@ -302,6 +319,7 @@ class PDController(PolicyBase):
     trainable: bool = False
 
     def __post_init__(self):
+        object.__setattr__(self, "u_max", _umax_static(self.u_max))
         tt = tuple(tuple(float(v) for v in row) for row in np.asarray(self.target_traj))
         object.__setattr__(self, "target_traj", tt)
 

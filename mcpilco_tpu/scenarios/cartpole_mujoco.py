@@ -1,0 +1,129 @@
+"""MuJoCo cart-pole swing-up scenario (test_mcpilco_cartpole_mujoco.py analog).
+
+State layout differs from the ODE scenario (SURVEY §2.4): [x, theta, xd, thd]
+with theta = 0 at the UPRIGHT target, initial state theta = pi (hanging);
+u_max 2.5, sim timestep 0.01 s, control at 20 Hz.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
+from ..control.rollout import InitialStateDistribution, RolloutEngine
+from ..control.trainer import PolicyOptimizer
+from ..envs.mujoco_plant import MujocoPlant
+from ..models import kernels as K
+from ..models import sod as sod_mod
+from ..models.costs import CartPoleCost
+from ..models.dynamics import SpeedIntegration
+from ..models.gp import MultiGP
+from ..models.policies import RandomExploration, SumOfGaussiansWithAngles
+from ..utils import prng
+from . import cartpole as base
+
+
+@dataclasses.dataclass(frozen=True)
+class CartpoleMujocoConfig:
+    seed: int = 1
+    dt: float = 0.05
+    sim_timestep: float = 0.01
+    T_exploration: float = 3.0
+    T_control: float = 3.0
+    num_trials: int = 5
+    u_max: float = 2.5
+    std_noise: float = 1e-2
+    num_basis: int = 200
+    num_particles: int = 400
+    opt_steps: tuple = (2000, 4000, 4000, 4000, 4000)
+    gp_epochs: int = 1501
+    use_sod: bool = True
+    log_dir: Optional[str] = None
+
+    def smoke(self) -> "CartpoleMujocoConfig":
+        return dataclasses.replace(
+            self, num_trials=1, num_basis=40, num_particles=50, opt_steps=(60,), gp_epochs=300
+        )
+
+
+def build(cfg: CartpoleMujocoConfig):
+    key = prng.root_key(cfg.seed)
+    # mujoco layout: [x, theta, xd, thd] — vel indices (2, 3), angle index 1
+    model = SpeedIntegration(
+        state_dim=4, input_dim=1, dt=cfg.dt,
+        vel_indices=(2, 3), pos_indices=(0, 1),
+        angle_indices=(1,), not_angle_indices=(0, 2, 3),
+    )
+    kern = (
+        K.se_plus_volterra(active_dims=tuple(range(6)), degree=2)
+        if cfg.gp_epochs >= 1000
+        else K.SEArd(active_dims=tuple(range(6)))
+    )
+    gp = MultiGP(kernel=kern, num_heads=2)
+    policy = SumOfGaussiansWithAngles(
+        feature_dim=5, input_dim=1, num_basis=cfg.num_basis, u_max=cfg.u_max,
+        angle_indices=(1,), non_angle_indices=(0, 2, 3),
+        reinit_lengthscales=(1.0,) * 5,
+        reinit_centers=(np.pi, np.pi, np.pi, 1.0, 1.0),
+        reinit_weight=cfg.u_max,
+    )
+    exploration = RandomExploration(state_dim=4, input_dim=1, u_max=cfg.u_max)
+    # upright target theta = 0 (test_mcpilco_cartpole_mujoco.py:147-148)
+    cost = CartPoleCost(
+        target_state=(0.0, 0.0), lengthscales=(3.0, 1.0), angle_index=1, pos_index=0
+    )
+    plant = MujocoPlant(
+        xml="cartpole_swingup.xml", noise_std=(cfg.std_noise,) * 4, sim_timestep=cfg.sim_timestep
+    )
+    init_dist = InitialStateDistribution(
+        kind="gaussian", mean=np.array([0.0, np.pi, 0.0, 0.0]), var=1e-4 * np.ones(4)
+    )
+    engine = RolloutEngine(model=model, gp=gp, policy=policy)
+    optimizer = PolicyOptimizer(
+        engine=engine, cost=cost, init_dist=init_dist,
+        num_particles=cfg.num_particles, horizon=int(cfg.T_control / cfg.dt),
+        max_opt_steps=max(cfg.opt_steps),
+        alpha_diff_cost=0.99, min_diff_cost=0.08, num_min_diff_cost=200,
+        min_step=200.0, lr_min=0.0025, p_drop_reduction=0.125,
+    )
+    agent = MCPilco(
+        dt=cfg.dt, model=model, gp=gp, policy=policy,
+        exploration_policy=exploration, cost=cost, optimizer=optimizer,
+        plant=plant, init_dist=init_dist,
+        sod=sod_mod.SODConfig(threshold_mode="relative", threshold=(0.5,)) if cfg.use_sod else None,
+        seed=cfg.seed, log_dir=cfg.log_dir,
+    )
+    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
+    k1, k2, k3 = jax.random.split(kc, 3)
+    angle_centers = np.pi * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 1))) - 0.5)
+    centers_init = np.concatenate(
+        [np.pi * 2 * (np.asarray(jax.random.uniform(k2, (cfg.num_basis, 3))) - 0.5),
+         np.cos(angle_centers), np.sin(angle_centers)], axis=1,
+    )
+    weight_init = cfg.u_max * (np.asarray(jax.random.uniform(k3, (1, cfg.num_basis))) - 0.5)
+    agent.policy_params = policy.init_params(
+        kc, lengthscales=np.ones(5), centers=centers_init, weight=weight_init
+    )
+
+    reinforce_kwargs = dict(
+        num_trials=cfg.num_trials,
+        T_exploration=cfg.T_exploration,
+        T_control=cfg.T_control,
+        model_fit_options=[ModelFitOptions(num_epochs=cfg.gp_epochs)] * max(cfg.num_trials, 1),
+        policy_opt_options=[
+            PolicyOptOptions(opt_steps=s, learning_rate=0.01, p_dropout=0.25)
+            for s in cfg.opt_steps
+        ],
+    )
+    return agent, reinforce_kwargs
+
+
+def swingup_success(states: np.ndarray) -> bool:
+    """MuJoCo layout: angle index 1, upright target 0."""
+    tail = states[-(len(states) // 4) :]
+    wrapped = np.abs((tail[:, 1] + np.pi) % (2 * np.pi) - np.pi)
+    return bool(np.all(wrapped < 0.25) and np.all(np.abs(tail[:, 0]) < 0.5))

@@ -1,0 +1,151 @@
+"""UR5 joint-space trajectory tracking (test_mcpilco_ur5_mujoco.py analog).
+
+12-dim state [q(6), qd(6)], 6 torque inputs, 6 GP heads over a 24-dim GP
+input (sin/cos of the 6 angles + 6 velocities + 6 torques), SE+P(2) kernel,
+SOD with absolute threshold 1e-3, PD exploration along the reference
+trajectory, 400-basis tracking policy over [s, target(t)-s], saturated
+tracking cost, 200 particles x 200-step BPTT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
+from ..control.rollout import InitialStateDistribution, RolloutEngine
+from ..control.trainer import PolicyOptimizer
+from ..envs.mujoco_plant import MujocoPlant
+from ..envs.trajectories import ur5_joint_trajectory
+from ..models import kernels as K
+from ..models import sod as sod_mod
+from ..models.costs import SaturatedTrajectoryTracking
+from ..models.dynamics import SpeedIntegration
+from ..models.gp import MultiGP
+from ..models.policies import PDController, SumOfGaussiansTracking
+from ..utils import prng
+
+
+@dataclasses.dataclass(frozen=True)
+class UR5Config:
+    seed: int = 1
+    dt: float = 0.02
+    sim_timestep: float = 0.001
+    T_control: float = 4.0
+    num_trials: int = 2
+    std_noise: float = 1e-3
+    num_basis: int = 400
+    num_particles: int = 200
+    opt_steps: tuple = (5000, 5000)
+    gp_epochs: int = 2001
+    traj_amplitude: float = 0.6
+    log_dir: Optional[str] = None
+
+    def smoke(self) -> "UR5Config":
+        return dataclasses.replace(
+            self,
+            num_trials=1,
+            num_basis=60,
+            num_particles=30,
+            opt_steps=(40,),
+            gp_epochs=200,
+            T_control=1.0,
+        )
+
+
+STATE_DIM, INPUT_DIM = 12, 6
+U_MAX = (1.0,) * 6
+
+
+def build(cfg: UR5Config):
+    key = prng.root_key(cfg.seed)
+    num_steps = int(cfg.T_control / cfg.dt)
+    target_traj = ur5_joint_trajectory(num_steps=num_steps, dt=cfg.dt)
+
+    model = SpeedIntegration(
+        state_dim=STATE_DIM, input_dim=INPUT_DIM, dt=cfg.dt,
+        vel_indices=tuple(range(6, 12)), pos_indices=tuple(range(6)),
+        angle_indices=tuple(range(6)), not_angle_indices=tuple(range(6, 12)),
+    )
+    assert model.gp_input_dim == 24
+    gp = MultiGP(
+        kernel=K.se_plus_volterra(active_dims=tuple(range(24)), degree=2), num_heads=6
+    )
+    policy = SumOfGaussiansTracking(
+        feature_dim=2 * STATE_DIM, input_dim=INPUT_DIM, num_basis=cfg.num_basis,
+        u_max=U_MAX, target_traj=target_traj,
+        reinit_lengthscales=(np.pi,) * 24,
+        reinit_centers=tuple([np.pi / 2] * 12 + [0.1] * 12),
+        reinit_weight=1.0,
+    )
+    exploration = PDController(
+        state_dim=STATE_DIM, input_dim=INPUT_DIM, target_traj=target_traj, u_max=U_MAX
+    )
+    cost = SaturatedTrajectoryTracking(
+        target_traj=target_traj,
+        lengthscales=np.array([0.5] * 6 + [1.0] * 6),
+        used_indices=tuple(range(12)),
+    )
+    plant = MujocoPlant(
+        xml="ur5.xml", noise_std=(cfg.std_noise,) * STATE_DIM, sim_timestep=cfg.sim_timestep
+    )
+    init_dist = InitialStateDistribution(
+        kind="gaussian", mean=target_traj[0], var=1e-6 * np.ones(STATE_DIM)
+    )
+    engine = RolloutEngine(model=model, gp=gp, policy=policy, remat=True)
+    optimizer = PolicyOptimizer(
+        engine=engine, cost=cost, init_dist=init_dist,
+        num_particles=cfg.num_particles, horizon=num_steps,
+        max_opt_steps=max(cfg.opt_steps),
+        alpha_diff_cost=0.99, min_diff_cost=0.04, num_min_diff_cost=400,
+        min_step=400.0, lr_min=0.0025, p_drop_reduction=0.125,
+    )
+    agent = MCPilco(
+        dt=cfg.dt, model=model, gp=gp, policy=policy,
+        exploration_policy=exploration, cost=cost, optimizer=optimizer,
+        plant=plant, init_dist=init_dist,
+        sod=sod_mod.SODConfig(threshold_mode="absolute", threshold=(1e-3,) * 6),
+        seed=cfg.seed, log_dir=cfg.log_dir,
+    )
+    # scripted policy init (test_mcpilco_ur5_mujoco.py:126-147)
+    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
+    k1, k2 = jax.random.split(kc)
+    centers_init = np.concatenate(
+        [
+            np.pi / 2 * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 12))) - 0.5),
+            0.1 * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 12))) - 0.5),
+        ],
+        axis=1,
+    )
+    weight_init = 2.0 * (np.asarray(jax.random.uniform(k2, (INPUT_DIM, cfg.num_basis))) - 0.5)
+    agent.policy_params = policy.init_params(
+        kc, lengthscales=np.pi * np.ones(24), centers=centers_init, weight=weight_init
+    )
+    agent.expl_params = exploration.init_params(
+        kc, sqrt_kp=np.ones(6), sqrt_kd=0.1 * np.ones(6)
+    )
+
+    reinforce_kwargs = dict(
+        num_trials=cfg.num_trials,
+        T_exploration=cfg.T_control,
+        T_control=cfg.T_control,
+        model_fit_options=[ModelFitOptions(num_epochs=cfg.gp_epochs)] * max(cfg.num_trials, 1),
+        policy_opt_options=[
+            PolicyOptOptions(opt_steps=s, learning_rate=0.01, p_dropout=0.25)
+            for s in cfg.opt_steps
+        ],
+    )
+    return agent, reinforce_kwargs
+
+
+def tracking_error_deg(agent) -> np.ndarray:
+    """Per-joint RMS tracking error in degrees on the final trial
+    (the log_plot_ur5.py:122-150 diagnostic)."""
+    final = agent.trials[-1]
+    num_steps = min(final.true.shape[0], len(agent.cost.target_traj))
+    traj = np.asarray(agent.cost.target_traj)[:num_steps, :6]
+    err = final.true[:num_steps, :6] - traj
+    return np.sqrt((err**2).mean(axis=0)) * 180.0 / np.pi

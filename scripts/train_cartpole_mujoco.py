@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Train MC-PILCO on the MuJoCo cart-pole swing-up
+(test_mcpilco_cartpole_mujoco.py analog)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser("train cartpole mujoco")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--trials", type=int, default=None)
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    import numpy as np
+
+    from mcpilco_tpu.scenarios import cartpole_mujoco as scen
+
+    cfg = scen.CartpoleMujocoConfig(
+        seed=args.seed, log_dir=args.log_dir or f"results_tmp/mj_{args.seed}"
+    )
+    if args.smoke:
+        cfg = cfg.smoke()
+    if args.trials is not None:
+        cfg = dataclasses.replace(cfg, num_trials=args.trials)
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    agent, kwargs = scen.build(cfg)
+    t0 = time.time()
+    agent.reinforce(**kwargs)
+    print(f"\n[train_cartpole_mujoco] total wall-clock {time.time() - t0:.1f}s")
+    final = agent.trials[-1]
+    ok = scen.swingup_success(final.true)
+    print(f"[train_cartpole_mujoco] final-trial swing-up success: {ok}")
+    print(
+        "[train_cartpole_mujoco] tail theta:",
+        np.round(final.true[-5:, 1], 3), " x:", np.round(final.true[-5:, 0], 3),
+    )
+    return 0 if (ok or args.smoke) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Train MC-PILCO-4PMS on the cart-pole with a modeled measurement system
+(TPU-native equivalent of the reference's test_mcpilco4pms_cartpole.py)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser("train cartpole 4pms")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--trials", type=int, default=None)
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    import numpy as np
+
+    from mcpilco_tpu.scenarios import cartpole_pms as scen
+
+    cfg = scen.CartpolePMSConfig(seed=args.seed, log_dir=args.log_dir or f"results_tmp/pms_{args.seed}")
+    if args.smoke:
+        cfg = cfg.smoke()
+    if args.trials is not None:
+        cfg = dataclasses.replace(cfg, num_trials=args.trials)
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    agent, kwargs = scen.build(cfg)
+    t0 = time.time()
+    agent.reinforce(**kwargs)
+    wall = time.time() - t0
+
+    final = agent.trials[-1]
+    ok = scen.swingup_success(final.true)
+    print(f"\n[train_cartpole_pms] total wall-clock {wall:.1f}s")
+    print(f"[train_cartpole_pms] final-trial swing-up success: {ok}")
+    print(
+        "[train_cartpole_pms] tail |theta|-pi:",
+        np.round(np.abs(np.abs(final.true[-5:, 2]) - np.pi), 3),
+        " x:", np.round(final.true[-5:, 0], 3),
+    )
+    return 0 if (ok or args.smoke) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

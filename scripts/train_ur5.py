@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Train MC-PILCO on UR5 joint-space trajectory tracking
+(test_mcpilco_ur5_mujoco.py analog)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser("train ur5 tracking")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--trials", type=int, default=None)
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    import numpy as np
+
+    from mcpilco_tpu.scenarios import ur5 as scen
+
+    cfg = scen.UR5Config(seed=args.seed, log_dir=args.log_dir or f"results_tmp/ur5_{args.seed}")
+    if args.smoke:
+        cfg = cfg.smoke()
+    if args.trials is not None:
+        cfg = dataclasses.replace(cfg, num_trials=args.trials)
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    agent, kwargs = scen.build(cfg)
+    t0 = time.time()
+    agent.reinforce(**kwargs)
+    print(f"\n[train_ur5] total wall-clock {time.time() - t0:.1f}s")
+    err = scen.tracking_error_deg(agent)
+    print(f"[train_ur5] final-trial per-joint RMS tracking error (deg): {np.round(err, 2)}")
+    ok = bool(np.all(err < 10.0))
+    print(f"[train_ur5] tracking success (<10 deg RMS all joints): {ok}")
+    return 0 if (ok or args.smoke) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

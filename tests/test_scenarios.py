@@ -1,0 +1,196 @@
+"""Scenario builders, orchestrator integration, checkpoint/resume, MuJoCo tier."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpilco_tpu.control.mc_pilco import ModelFitOptions, PolicyOptOptions
+from mcpilco_tpu.scenarios import cartpole as cp
+from mcpilco_tpu.scenarios import cartpole_pms as cpms
+
+
+def _smoke_agent(tmp_path=None, **replace):
+    cfg = cp.CartpoleConfig(seed=3).smoke()
+    if replace:
+        cfg = dataclasses.replace(cfg, **replace)
+    if tmp_path is not None:
+        cfg = dataclasses.replace(cfg, log_dir=str(tmp_path))
+    return cp.build(cfg)
+
+
+class TestCartpoleIntegration:
+    def test_full_smoke_loop(self, tmp_path):
+        agent, kwargs = _smoke_agent(tmp_path)
+        logs = agent.reinforce(**kwargs, verbose=False)
+        assert len(logs) == 1
+        c = logs[0].cost_history
+        assert np.isfinite(c).all()
+        # one-step model MSE should be small on the training trial
+        assert np.all(agent.one_step_mse(0) < 0.1)
+        # checkpoints written for each phase
+        assert os.path.isdir(os.path.join(str(tmp_path), "model_trial0"))
+        assert os.path.isdir(os.path.join(str(tmp_path), "policy_trial0"))
+
+    def test_policy_improves_cost_on_longer_budget(self):
+        agent, kwargs = _smoke_agent()
+        agent.collect(3.0, 0, exploration=True)
+        agent.fit_model(ModelFitOptions(num_epochs=300))
+        log = agent.improve_policy(
+            PolicyOptOptions(opt_steps=150, learning_rate=0.02, p_dropout=0.0), 0
+        )
+        c = log.cost_history
+        assert c[-1] < c[0] - 1.0, f"no improvement: {c[0]} -> {c[-1]}"
+
+    def test_checkpoint_resume_roundtrip(self, tmp_path):
+        agent, kwargs = _smoke_agent(tmp_path)
+        agent.reinforce(**kwargs, verbose=False)
+        post_before = agent.posterior
+
+        agent2, _ = _smoke_agent()
+        agent2.load_checkpoint(os.path.join(str(tmp_path), "complete_trial0"))
+        assert agent2.num_collections == agent.num_collections
+        np.testing.assert_allclose(agent2.gp_x, agent.gp_x, rtol=1e-6)
+        # restored GP hyperparameters match exactly
+        for l1, l2 in zip(
+            jax.tree_util.tree_leaves(agent.gp_params), jax.tree_util.tree_leaves(agent2.gp_params)
+        ):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+        # the rebuilt posterior (full post-trial dataset, like the reference's
+        # load_model_from_log -> pretrain_gp) predicts finitely and fits the data
+        x = jnp.asarray(agent.gp_x)
+        m2, v2 = agent2.gp.predict(agent2.gp_params, agent2.posterior, x)
+        mse = float(jnp.mean((m2 - jnp.asarray(agent.gp_y)) ** 2))
+        assert np.isfinite(np.asarray(m2)).all() and mse < 0.1
+        del post_before
+        # and the restored policy acts identically
+        s = jnp.zeros((3, 4))
+        u1 = agent.policy.apply(agent.policy_params, s, 0)
+        u2 = agent2.policy.apply(agent2.policy_params, s, 0)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-6)
+
+    def test_multi_init_variant_builds(self):
+        cfg = dataclasses.replace(cp.CartpoleConfig(seed=1).smoke(), multi_init=True)
+        agent, _ = cp.build(cfg)
+        s = agent.init_dist.sample(jax.random.PRNGKey(0), 400)
+        frac_neg = float((np.asarray(s)[:, 0] < 0).mean())
+        assert 0.3 < frac_neg < 0.7
+
+    def test_se_kernel_variant_builds(self):
+        cfg = dataclasses.replace(cp.CartpoleConfig(seed=1).smoke(), kernel="se", use_sod=False)
+        agent, _ = cp.build(cfg)
+        assert agent.sod is None
+
+
+class TestPMSIntegration:
+    def test_pms_smoke_loop(self):
+        cfg = cpms.CartpolePMSConfig(seed=2).smoke()
+        agent, kwargs = cpms.build(cfg)
+        logs = agent.reinforce(**kwargs, verbose=False)
+        assert np.isfinite(logs[0].cost_history).all()
+        # offline filtering trims first/last samples: N = T/dt + 1 - 2 - 1
+        n_per_trial = int(3.0 / cfg.dt) + 1 - 2 - 1
+        assert agent.gp_x.shape[0] == 2 * n_per_trial
+
+    def test_pms_sensors_in_rollout(self):
+        cfg = cpms.CartpolePMSConfig(seed=2).smoke()
+        agent, _ = cpms.build(cfg)
+        assert agent.optimizer.engine.sensors is not None
+
+
+class TestMujoco:
+    def test_cartpole_xml_loads_and_steps(self):
+        mujoco = pytest.importorskip("mujoco")
+        from mcpilco_tpu.envs.mujoco_plant import ASSETS
+
+        m = mujoco.MjModel.from_xml_path(os.path.join(ASSETS, "cartpole_swingup.xml"))
+        assert m.nq == 2 and m.nu == 1
+        d = mujoco.MjData(m)
+        d.qpos[:] = [0.0, np.pi]
+        for _ in range(100):
+            mujoco.mj_step(m, d)
+        assert np.isfinite(d.qpos).all()
+
+    def test_ur5_xml_loads(self):
+        mujoco = pytest.importorskip("mujoco")
+        from mcpilco_tpu.envs.mujoco_plant import ASSETS
+
+        m = mujoco.MjModel.from_xml_path(os.path.join(ASSETS, "ur5.xml"))
+        assert m.nq == 6 and m.nu == 6
+
+    def test_mujoco_plant_rollout_protocol(self):
+        pytest.importorskip("mujoco")
+        from mcpilco_tpu.envs.mujoco_plant import MujocoPlant
+        from mcpilco_tpu.models.policies import RandomExploration
+
+        plant = MujocoPlant(xml="cartpole_swingup.xml", noise_std=(0.01,) * 4)
+        pol = RandomExploration(state_dim=4, input_dim=1, u_max=2.5)
+        trial = plant.rollout(
+            jax.random.PRNGKey(0), np.array([0.0, np.pi, 0.0, 0.0]), pol, {}, T=1.0, dt=0.05
+        )
+        assert trial.measured.shape == (21, 4)
+        assert trial.inputs.shape == (21, 1)
+        assert np.isfinite(trial.true).all()
+        # pole hangs near pi, gets perturbed by the random pushes
+        assert np.abs(trial.true[0, 1] - np.pi) < 1e-6
+        assert np.abs(trial.true[:, 0]).max() > 1e-3
+
+    def test_gravity_pulls_arm_down(self):
+        pytest.importorskip("mujoco")
+        from mcpilco_tpu.envs.mujoco_plant import MujocoPlant
+        from mcpilco_tpu.models.policies import PDController
+
+        traj = np.zeros((60, 12))
+        plant = MujocoPlant(xml="ur5.xml", noise_std=(0.0,) * 12, sim_timestep=0.001)
+        pol = PDController(state_dim=12, input_dim=6, target_traj=traj, u_max=(1.0,) * 6)
+        params = pol.init_params(jax.random.PRNGKey(0), sqrt_kp=np.zeros(6), sqrt_kd=np.zeros(6))
+        # start from a bent configuration (the zero config is vertically
+        # singular, so gravity exerts no torque there)
+        s0 = np.zeros(12)
+        s0[1] = 1.0
+        trial = plant.rollout(jax.random.PRNGKey(0), s0, pol, params, T=0.5, dt=0.02)
+        # with zero torques the bent arm must move under gravity
+        assert np.abs(trial.true[-1, 1] - 1.0) > 0.05
+
+
+class TestUR5Scenario:
+    def test_build_and_shapes(self):
+        from mcpilco_tpu.scenarios import ur5
+
+        cfg = ur5.UR5Config(seed=1).smoke()
+        agent, kwargs = ur5.build(cfg)
+        assert agent.gp.num_heads == 6
+        assert agent.model.gp_input_dim == 24
+        assert agent.policy_params["centers"].shape == (cfg.num_basis, 24)
+
+    def test_pd_tracks_better_than_zero_torque(self):
+        pytest.importorskip("mujoco")
+        from mcpilco_tpu.envs.mujoco_plant import MujocoPlant
+        from mcpilco_tpu.envs.trajectories import ur5_joint_trajectory
+        from mcpilco_tpu.models.policies import PDController
+
+        traj = ur5_joint_trajectory(num_steps=60, dt=0.02)
+        plant = MujocoPlant(xml="ur5.xml", noise_std=(0.0,) * 12, sim_timestep=0.001)
+        pol = PDController(state_dim=12, input_dim=6, target_traj=traj, u_max=(1.0,) * 6)
+        good = pol.init_params(jax.random.PRNGKey(0), sqrt_kp=np.ones(6), sqrt_kd=0.1 * np.ones(6))
+        zero = pol.init_params(jax.random.PRNGKey(0), sqrt_kp=np.zeros(6), sqrt_kd=np.zeros(6))
+        t_good = plant.rollout(jax.random.PRNGKey(0), traj[0], pol, good, T=1.0, dt=0.02)
+        t_zero = plant.rollout(jax.random.PRNGKey(0), traj[0], pol, zero, T=1.0, dt=0.02)
+        e_good = np.abs(t_good.true[:51, :6] - traj[:51, :6]).mean()
+        e_zero = np.abs(t_zero.true[:51, :6] - traj[:51, :6]).mean()
+        assert e_good < e_zero
+
+    def test_trajectory_generator_consistency(self):
+        from mcpilco_tpu.envs.trajectories import ur5_joint_trajectory
+
+        traj = ur5_joint_trajectory(num_steps=200, dt=0.02)
+        assert traj.shape == (200, 12)
+        # velocities consistent with positions (central difference check)
+        q, qd = traj[:, :6], traj[:, 6:]
+        qd_fd = (q[2:] - q[:-2]) / (2 * 0.02)
+        np.testing.assert_allclose(qd[1:-1], qd_fd, atol=0.05)
+        # starts at rest
+        np.testing.assert_allclose(qd[0], 0.0, atol=1e-9)
