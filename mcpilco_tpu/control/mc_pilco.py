@@ -99,6 +99,7 @@ class MCPilco:
         plant=None,
         init_dist: Optional[InitialStateDistribution] = None,
         sod: Optional[sod_mod.SODConfig] = None,
+        sor: Optional[sod_mod.SODConfig] = None,
         offline_filtering: bool = False,
         offline_filter_cutoff: float = 0.5,
         gp_sigma_n_init: float = 1.0,
@@ -118,6 +119,9 @@ class MCPilco:
         self.plant = plant
         self.init_dist = init_dist or optimizer.init_dist
         self.sod = sod
+        self.sor = sor
+        if sor is not None and gp.approx != "sor":
+            raise ValueError("sor config requires MultiGP(approx='sor')")
         self.offline_filtering = offline_filtering
         self.offline_filter_cutoff = offline_filter_cutoff
         self.gp_sigma_n_init = gp_sigma_n_init
@@ -234,17 +238,28 @@ class MCPilco:
         )
         info = {"mll_first": float(losses[0]), "mll_last": float(losses[-1])}
 
-        if self.sod is not None:
-            k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
-            sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)
-            x_tr = jnp.broadcast_to(data.x, (self.gp.num_heads,) + data.x.shape)
-            self.posterior = self.gp.posterior(self.gp_params, x_tr, sel, data.y)
-            info["sod_points"] = np.asarray(jnp.sum(sel, axis=-1)).tolist()
-        else:
-            self.posterior = self.gp.fit_posterior(self.gp_params, data)
+        self.posterior = self._build_posterior(data, info)
         info["wall_clock_s"] = time.time() - t0
         info["num_samples"] = int(self.gp_x.shape[0])
         return info
+
+    def _build_posterior(self, data: GPData, info: Optional[dict] = None):
+        """Exact / SOD-subset / SOR posterior, per configuration
+        (pretrain_gp dispatch analog, Model_learning.py:163-208)."""
+        if self.sod is not None:
+            k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
+            sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)
+            if info is not None:
+                info["sod_points"] = np.asarray(jnp.sum(sel, axis=-1)).tolist()
+            x_tr = jnp.broadcast_to(data.x, (self.gp.num_heads,) + data.x.shape)
+            return self.gp.posterior(self.gp_params, x_tr, sel, data.y)
+        if self.sor is not None:
+            k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
+            sel = sod_mod.select(self.gp, self.sor, self.gp_params, data.x, data.y, data.mask, k)
+            if info is not None:
+                info["sor_points"] = np.asarray(jnp.sum(sel, axis=-1)).tolist()
+            return self.gp.sor_posterior(self.gp_params, data, sel)
+        return self.gp.fit_posterior(self.gp_params, data)
 
     # ------------------------------------------------------------ diagnostics
 
@@ -435,11 +450,4 @@ class MCPilco:
             for c in meta["cost_histories"]
         ]
         # rebuild posterior cache (pretrain_gp analog, MC_PILCO.py:749-751)
-        data = self._padded_data()
-        if self.sod is not None:
-            k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
-            sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)
-            x_tr = jnp.broadcast_to(data.x, (self.gp.num_heads,) + data.x.shape)
-            self.posterior = self.gp.posterior(self.gp_params, x_tr, sel, data.y)
-        else:
-            self.posterior = self.gp.fit_posterior(self.gp_params, data)
+        self.posterior = self._build_posterior(self._padded_data())

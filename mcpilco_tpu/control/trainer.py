@@ -132,6 +132,14 @@ class PolicyOptimizer:
     lr_min: float = 0.001
     p_drop_reduction: float = 0.0
     thr_floor: float = 0.01
+    # Global-norm gradient clipping.  BPTT through the closed loop of learned
+    # GP dynamics + policy (+ the 4PMS sensor chain, whose finite-difference
+    # velocity estimate multiplies position signals by 1/dt) can produce
+    # exploding per-realization gradients — measured up to 1e5x the typical
+    # norm on TPU for the 4PMS cartpole at horizon 90 while the cost stays
+    # finite.  Clipping bounds the damage of those spikes; typical healthy
+    # norms in the shipped scenarios are O(10).
+    grad_clip_norm: float = 100.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -166,9 +174,16 @@ class PolicyOptimizer:
         mask = self.engine.policy.param_mask(policy_params)
 
         def masked(grads):
-            return jax.tree_util.tree_map(
+            grads = jax.tree_util.tree_map(
                 lambda g, m: g if m else jnp.zeros_like(g), grads, mask
             )
+            if self.grad_clip_norm is not None and self.grad_clip_norm > 0:
+                gn = jnp.sqrt(
+                    sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
+                )
+                scale = jnp.minimum(1.0, self.grad_clip_norm / (gn + 1e-12))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            return grads
 
         lr0 = jnp.asarray(lr0, f32)
         p_dropout0 = jnp.asarray(p_dropout0, f32)

@@ -79,6 +79,8 @@ class MultiGP:
 
     kernel: Kernel
     num_heads: int
+    # inference mode: 'exact' (incl. SOD subsets) or 'sor'
+    approx: str = "exact"
     # Relative diagonal jitter: the TPU's blocked f32 Cholesky needs ~1e-5 at
     # N~64 and ~1e-4 at N~384 to survive 1500 MLL epochs on near-noiseless
     # SE+P(2) fits (roundoff grows with N); 1e-4 costs no measurable accuracy
@@ -106,6 +108,9 @@ class MultiGP:
         )
 
     # ---------------- core math (single head) ----------------
+
+    def _noise_var(self, log_sigma_n):
+        return jnp.exp(2.0 * log_sigma_n) + self.jitter
 
     def _noisy_gram(self, kparams, log_sigma_n, x, mask):
         """K(x,x) + (sigma_n^2 + jitter) I with scale-adaptive jitter —
@@ -141,8 +146,15 @@ class MultiGP:
         k_star = self.kernel.gram(kparams, x_star, x_tr) * mask  # [P, M]
         mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
         quad = jnp.sum(jnp.matmul(k_star, k_inv, precision=hp) * k_star, axis=-1)
-        var = self.kernel.diag(kparams, x_star) - quad
-        var = jnp.maximum(var, 0.0)  # f32 guard; eliminates sqrt-NaN at the source
+        diag = self.kernel.diag(kparams, x_star)
+        var = diag - quad
+        # Floor at jitter * prior-diag instead of 0: near-interpolation the
+        # true variance is ~0 and d(sqrt(var))/d(var) = 1/(2 sd) would amplify
+        # f32 roundoff in var's backward by ~1/(2e-6) — measured to corrupt
+        # BPTT policy gradients by 2-3 orders of magnitude on TPU.  A floor of
+        # jitter*diag (the resolution limit of the factorization anyway) caps
+        # the amplification at ~1/(2 sqrt(jitter)).
+        var = jnp.maximum(var, self.jitter * diag)
         return mean * norm, var * norm * norm
 
     # ---------------- public stacked API ----------------
@@ -233,6 +245,8 @@ class MultiGP:
         Returns (mean, var) of shape [G, ...]; the hot op of the particle
         rollout (reference MC_PILCO.py:662-671 -> GP_prior.py:137-155).
         """
+        if self.approx == "sor":
+            return self.sor_predict(params, post, x_star)
         return jax.vmap(
             lambda kp, xt, m, a, ki, nm: self._predict_head(kp, xt, m, a, ki, nm, x_star)
         )(params.kernel, post.x_tr, post.mask, post.alpha, post.k_inv, post.norm)
@@ -242,3 +256,58 @@ class MultiGP:
         x_tr = jnp.broadcast_to(data.x, (self.num_heads,) + data.x.shape)
         mask = jnp.broadcast_to(data.mask, (self.num_heads,) + data.mask.shape)
         return self.posterior(params, x_tr, mask, data.y)
+
+    # ---------------- Subset-of-Regressors approximation ----------------
+    # SOR replaces k(x,x') by k(x,U) K_UU^-1 k(U,x') for an inducing set U
+    # (gpr_lib/GP_prior/Sparse_GP.py:33-232).  The posterior cache reuses the
+    # Posterior tuple with x_tr = U (padded by a selection mask), alpha = the
+    # SOR coefficients, and k_inv = -Sigma, where
+    #     Sigma = (K_UU + sigma_n^-2 K_UX K_XU)^-1        (:112-145)
+    #     mean* = m* + k(*,U) alpha
+    #     var*  = sum((k(*,U) Sigma) o k(*,U))            (:147-169)
+    # The sign trick makes `predict` dispatch-free: var = diag - quad with
+    # quad = sum((k K_inv) o k); storing k_inv = -(Sigma) and a zero kernel
+    # diag is NOT possible, so SOR gets its own small predict path instead.
+
+    def _sor_posterior_head(self, kparams, log_sigma_n, x, y, mask, sel, norm):
+        """One head: x/y/mask = full padded data; sel = inducing mask [N]."""
+        noise = self._noise_var(log_sigma_n)
+        K_full = self.kernel.gram(kparams, x, x)
+        K_xu = K_full * sel[None, :] * mask[:, None]
+        hp = jax.lax.Precision.HIGHEST
+        sigma_inv = K_full * (sel[:, None] * sel[None, :]) + (1.0 / noise) * jnp.matmul(
+            K_xu.T, K_xu, precision=hp
+        )
+        # jitter must track sigma_inv's own scale (~ sigma_n^-2 N k^2), which
+        # dwarfs K_uu's; the kernel matrix itself is usually near-singular
+        jit = linalg.adaptive_jitter(sigma_inv, sel, rel=self.jitter, floor=self.jitter)
+        sigma_inv = sigma_inv + jit * jnp.diag(sel)
+        L = linalg.masked_cholesky(sigma_inv, sel)
+        sigma = linalg.chol_inverse(L) * (sel[:, None] * sel[None, :])
+        resid = (y / norm - self.kernel.mean(kparams, x)) * mask
+        alpha = (1.0 / noise) * jnp.matmul(sigma, jnp.matmul(K_xu.T, resid, precision=hp), precision=hp)
+        return alpha * sel, sigma
+
+    def sor_posterior(self, params: GPParams, data: GPData, sel: jax.Array) -> Posterior:
+        """Build the SOR posterior; ``sel`` [G, N] marks inducing points."""
+        norm = self.output_norms(data)
+        alpha, sigma = jax.vmap(
+            lambda kp, lsn, yy, ss, nm: self._sor_posterior_head(
+                kp, lsn, data.x, yy, data.mask, ss, nm
+            )
+        )(params.kernel, params.log_sigma_n, data.y, sel, norm)
+        x_tr = jnp.broadcast_to(data.x, (self.num_heads,) + data.x.shape)
+        return Posterior(x_tr=x_tr, mask=sel, alpha=alpha, k_inv=sigma, norm=norm)
+
+    def _sor_predict_head(self, kparams, u, sel, alpha, sigma, norm, x_star):
+        hp = jax.lax.Precision.HIGHEST
+        k_star = self.kernel.gram(kparams, x_star, u) * sel
+        mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
+        var = jnp.sum(jnp.matmul(k_star, sigma, precision=hp) * k_star, axis=-1)
+        var = jnp.maximum(var, self.jitter * self.kernel.diag(kparams, x_star))
+        return mean * norm, var * norm * norm
+
+    def sor_predict(self, params: GPParams, post: Posterior, x_star: jax.Array):
+        return jax.vmap(
+            lambda kp, u, ss, a, sg, nm: self._sor_predict_head(kp, u, ss, a, sg, nm, x_star)
+        )(params.kernel, post.x_tr, post.mask, post.alpha, post.k_inv, post.norm)

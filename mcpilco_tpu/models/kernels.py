@@ -65,13 +65,19 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def sq_dist(A: jax.Array, B: jax.Array) -> jax.Array:
-    """Pairwise squared distances via the ||a||^2+||b||^2-2ab expansion
-    (same algebra as gpr_lib/GP_prior/Stationary_GP.py:65-109), clamped at 0
-    for f32 robustness."""
-    a2 = jnp.sum(A * A, axis=-1, keepdims=True)
-    b2 = jnp.sum(B * B, axis=-1, keepdims=True)
-    ab = jnp.matmul(A, jnp.swapaxes(B, -1, -2), precision=HIGHEST)
-    return jnp.maximum(a2 + jnp.swapaxes(b2, -1, -2) - 2.0 * ab, 0.0)
+    """Pairwise squared distances by direct elementwise differences.
+
+    The reference uses the ||a||^2+||b||^2-2ab matmul expansion
+    (gpr_lib/GP_prior/Stationary_GP.py:65-109).  On TPU that form is a
+    numerical trap: the cancellation amplifies the MXU's product roundoff
+    (~3.5e-6 absolute in the Gram entries even at HIGHEST precision vs 7e-8
+    for the direct form), and the GP posterior multiplies Gram errors by
+    |alpha| ~ 1e2 — measured to destabilize BPTT through long rollouts.
+    MC-PILCO's feature dims are tiny (6-24), so the O(N*M*D) broadcasted
+    difference is cheap and exact-to-eps; the VPU handles it easily.
+    """
+    d = A[..., :, None, :] - B[..., None, :, :]
+    return jnp.sum(d * d, axis=-1)
 
 
 class Kernel:

@@ -238,12 +238,9 @@ class SumOfGaussians(PolicyBase):
         ls = jnp.exp(params["log_lengthscales"])
         s = policy_in / ls
         c = params["centers"] / ls
-        d = (
-            jnp.sum(s * s, axis=-1, keepdims=True)
-            + jnp.sum(c * c, axis=-1)
-            - 2.0 * jnp.matmul(s, c.T, precision=HIGHEST)
-        )
-        return jnp.exp(-jnp.maximum(d, 0.0))
+        # direct differences: cancellation-free (see kernels.sq_dist)
+        diff = s[..., :, None, :] - c[None, :, :]
+        return jnp.exp(-jnp.sum(diff * diff, axis=-1))
 
     def _policy_input(self, states, t):
         return states

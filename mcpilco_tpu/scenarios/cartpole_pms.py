@@ -89,7 +89,12 @@ def build(cfg: CartpolePMSConfig):
     )
     init_dist = InitialStateDistribution(kind="gaussian", mean=np.zeros(4), var=1e-4 * np.ones(4))
 
-    engine = RolloutEngine(model=model, gp=gp, policy=policy, sensors=sensors)
+    # bptt_clip: the 4PMS sensor chain (finite-difference velocities, gain
+    # 1/dt) makes BPTT cotangents explode on TPU; a tight per-particle cap
+    # keeps the clipped-spike noise below the healthy signal even as the
+    # model sharpens in later trials (see rollout._clip_bptt; cap sweep:
+    # 5.0 diverges by trial 3, 1.0 marginal, 0.2 converges)
+    engine = RolloutEngine(model=model, gp=gp, policy=policy, sensors=sensors, bptt_clip=0.2)
     optimizer = PolicyOptimizer(
         engine=engine, cost=cost, init_dist=init_dist,
         num_particles=cfg.num_particles, horizon=int(cfg.T_control / cfg.dt),
