@@ -48,6 +48,7 @@ class CartpolePMSConfig:
     learning_rates: tuple = (0.01,) * 5
     p_dropout: tuple = (0.25,) * 5
     gp_epochs: int = 1501
+    bptt_clip: float = 0.2
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpolePMSConfig":
@@ -94,7 +95,7 @@ def build(cfg: CartpolePMSConfig):
     # keeps the clipped-spike noise below the healthy signal even as the
     # model sharpens in later trials (see rollout._clip_bptt; cap sweep:
     # 5.0 diverges by trial 3, 1.0 marginal, 0.2 converges)
-    engine = RolloutEngine(model=model, gp=gp, policy=policy, sensors=sensors, bptt_clip=0.2)
+    engine = RolloutEngine(model=model, gp=gp, policy=policy, sensors=sensors, bptt_clip=cfg.bptt_clip)
     optimizer = PolicyOptimizer(
         engine=engine, cost=cost, init_dist=init_dist,
         num_particles=cfg.num_particles, horizon=int(cfg.T_control / cfg.dt),
