@@ -1,0 +1,117 @@
+"""Furuta-pendulum swing-up with a semiparametric dynamics model.
+
+Exercises the reference's semiparametric model family
+(SP_Speed_Model_learning_Furuta, model_learning/Model_learning.py:763-872):
+each velocity-delta GP head is a *sum* of an SE kernel and a linear kernel
+over nine physics-derived features, so the model generalizes along the known
+rigid-body structure while the SE part absorbs the residuals.  The reference
+ships the model class but no simulator; envs/ode.py provides a standard
+Furuta plant so the scenario runs end-to-end.
+
+State [theta_h, theta_v, dtheta_h, dtheta_v]; swing-up target |theta_v| = pi
+(pendulum up), horizontal arm at rest.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
+from ..control.rollout import InitialStateDistribution, RolloutEngine
+from ..control.trainer import PolicyOptimizer
+from ..envs.plants import ODEPlant
+from ..models import kernels as K
+from ..models.costs import SaturatedDistance
+from ..models.dynamics import FurutaSemiparametric
+from ..models.gp import MultiGP
+from ..models.policies import RandomExploration, SumOfGaussiansWithAngles
+from ..utils import prng
+
+
+@dataclasses.dataclass(frozen=True)
+class FurutaConfig:
+    seed: int = 1
+    dt: float = 0.02
+    T_exploration: float = 3.0
+    T_control: float = 3.0
+    num_trials: int = 5
+    u_max: float = 0.01  # N*m — small direct-drive arm (keeps |dth| < ~10 rad/s)
+    std_noise: float = 1e-3
+    num_basis: int = 200
+    num_particles: int = 400
+    opt_steps: tuple = (2000, 4000, 4000, 4000, 4000)
+    gp_epochs: int = 1501
+    semiparametric: bool = True
+    log_dir: Optional[str] = None
+
+    def smoke(self) -> "FurutaConfig":
+        return dataclasses.replace(
+            self, num_trials=1, num_basis=40, num_particles=50, opt_steps=(60,), gp_epochs=300
+        )
+
+
+def build(cfg: FurutaConfig):
+    key = prng.root_key(cfg.seed)
+    model = FurutaSemiparametric(
+        state_dim=4, input_dim=1, dt=cfg.dt, vel_indices=(2, 3), pos_indices=(0, 1)
+    )
+    d = model.gp_input_dim  # 12
+    if cfg.semiparametric:
+        # SE over the raw state/input + linear over the physics features
+        # (Model_learning.py:797-807: RBF + Linear_GP)
+        kern = K.Sum(
+            members=(
+                K.SEArd(active_dims=tuple(range(5))),
+                K.Linear(active_dims=tuple(range(5, d)), offset=False),
+            )
+        )
+    else:
+        kern = K.SEArd(active_dims=tuple(range(d)))
+    # normalize_outputs: the direct-drive arm's velocity deltas are large and
+    # uneven across heads (flg_norm analog, Model_learning.py:406-409)
+    gp = MultiGP(kernel=kern, num_heads=2, normalize_outputs=True)
+
+    policy = SumOfGaussiansWithAngles(
+        feature_dim=6, input_dim=1, num_basis=cfg.num_basis, u_max=cfg.u_max,
+        angle_indices=(0, 1), non_angle_indices=(2, 3),
+        reinit_lengthscales=(1.0,) * 6,
+        reinit_centers=(np.pi, np.pi, 1.0, 1.0, 1.0, 1.0),
+        reinit_weight=cfg.u_max,
+    )
+    exploration = RandomExploration(state_dim=4, input_dim=1, u_max=cfg.u_max)
+    # saturated distance on [theta_v, dtheta_h]: pendulum up, arm at rest
+    cost = SaturatedDistance(
+        target_state=(np.pi, 0.0), lengthscales=(2.0, 4.0), active_dims=(1, 2)
+    )
+    plant = ODEPlant(ode_name="furuta", noise_std=(cfg.std_noise,) * 4, substeps=40)
+    init_dist = InitialStateDistribution(kind="gaussian", mean=np.zeros(4), var=1e-6 * np.ones(4))
+
+    engine = RolloutEngine(model=model, gp=gp, policy=policy)
+    optimizer = PolicyOptimizer(
+        engine=engine, cost=cost, init_dist=init_dist,
+        num_particles=cfg.num_particles, horizon=int(cfg.T_control / cfg.dt),
+        max_opt_steps=max(cfg.opt_steps),
+        alpha_diff_cost=0.99, min_diff_cost=0.08, num_min_diff_cost=200,
+        min_step=200.0, lr_min=0.0025, p_drop_reduction=0.125,
+    )
+    agent = MCPilco(
+        dt=cfg.dt, model=model, gp=gp, policy=policy,
+        exploration_policy=exploration, cost=cost, optimizer=optimizer,
+        plant=plant, init_dist=init_dist, seed=cfg.seed, log_dir=cfg.log_dir,
+    )
+
+    reinforce_kwargs = dict(
+        num_trials=cfg.num_trials,
+        T_exploration=cfg.T_exploration,
+        T_control=cfg.T_control,
+        model_fit_options=[ModelFitOptions(num_epochs=cfg.gp_epochs)] * max(cfg.num_trials, 1),
+        policy_opt_options=[
+            PolicyOptOptions(opt_steps=s, learning_rate=0.01, p_dropout=0.25)
+            for s in cfg.opt_steps
+        ],
+    )
+    return agent, reinforce_kwargs

@@ -194,3 +194,35 @@ class TestUR5Scenario:
         np.testing.assert_allclose(qd[1:-1], qd_fd, atol=0.05)
         # starts at rest
         np.testing.assert_allclose(qd[0], 0.0, atol=1e-9)
+
+
+class TestFurutaScenario:
+    def test_smoke_loop_semiparametric(self):
+        from mcpilco_tpu.scenarios import furuta
+
+        cfg = furuta.FurutaConfig(seed=1).smoke()
+        agent, kwargs = furuta.build(cfg)
+        assert agent.model.gp_input_dim == 12
+        logs = agent.reinforce(**kwargs, verbose=False)
+        assert np.isfinite(logs[0].cost_history).all()
+        # semiparametric model fits the dynamics decently from one trial
+        assert np.all(agent.one_step_mse(0) < 0.5)
+
+    def test_semiparametric_beats_se_only_extrapolation(self):
+        """The linear physics features should help one-step prediction on a
+        held-out trial (the reason the semiparametric family exists)."""
+        import dataclasses
+
+        from mcpilco_tpu.control.mc_pilco import ModelFitOptions
+        from mcpilco_tpu.scenarios import furuta
+
+        errs = {}
+        for sp in (True, False):
+            cfg = dataclasses.replace(furuta.FurutaConfig(seed=3).smoke(), semiparametric=sp)
+            agent, _ = furuta.build(cfg)
+            agent.collect(3.0, 0, exploration=True)
+            agent.fit_model(ModelFitOptions(num_epochs=300))
+            agent.collect(3.0, 1, exploration=True)  # held-out trial
+            errs[sp] = float(np.mean(agent.one_step_mse(-1)))
+        # both models should be sane; semiparametric at least comparable
+        assert errs[True] < max(5 * errs[False], 0.5)
