@@ -251,8 +251,27 @@ class MCPilco:
             sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)
             if info is not None:
                 info["sod_points"] = np.asarray(jnp.sum(sel, axis=-1)).tolist()
-            x_tr = jnp.broadcast_to(data.x, (self.gp.num_heads,) + data.x.shape)
-            return self.gp.posterior(self.gp_params, x_tr, sel, data.y)
+            # Compact to the UNION of the per-head subsets, padded to a tight
+            # bucket: the rollout re-reads the posterior (K^-1 is O(M^2))
+            # every scan step, so shrinking M from the full padded N cuts the
+            # hot loop's HBM traffic.  The union keeps x_tr IDENTICAL across
+            # heads (broadcast), which lets XLA share the head-independent
+            # pairwise-difference tensor inside the vmapped gram — per-head
+            # x_tr arrays measurably de-duplicate that work.
+            sel_np = np.asarray(sel) > 0.5
+            g = self.gp.num_heads
+            union = np.where(sel_np.any(axis=0))[0]
+            m_cap = linalg.bucket_size(len(union), self.bucket, self.bucket)
+            x_np, y_np = np.asarray(data.x), np.asarray(data.y)
+            x_tr = np.zeros((m_cap, x_np.shape[1]), np.float32)
+            x_tr[: len(union)] = x_np[union]
+            y_tr = np.zeros((g, m_cap), np.float32)
+            y_tr[:, : len(union)] = y_np[:, union]
+            mask = np.zeros((g, m_cap), np.float32)
+            mask[:, : len(union)] = sel_np[:, union].astype(np.float32)
+            return self.gp.posterior(
+                self.gp_params, jnp.asarray(x_tr), jnp.asarray(mask), jnp.asarray(y_tr)
+            )
         if self.sor is not None:
             k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
             sel = sod_mod.select(self.gp, self.sor, self.gp_params, data.x, data.y, data.mask, k)

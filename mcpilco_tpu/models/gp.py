@@ -55,12 +55,15 @@ class GPData(NamedTuple):
 class Posterior(NamedTuple):
     """Cached posterior for fast rollout-time prediction.
 
-    Per-head training inputs are stored separately ([G, M, D]) because sparse
-    approximations (SOD) select a different subset per head.
+    ``x_tr`` is [M, D] when all heads share the same training inputs (the
+    usual case — per-head subsets are expressed via per-head ``mask``), or
+    [G, M, D] for genuinely distinct per-head inputs.  Keeping x_tr shared
+    lets XLA hoist the head-independent pairwise-difference tensor out of
+    the vmapped Gram in the rollout hot loop (~25% faster predict).
     ``norm`` rescales the normalized-target posterior back to output units.
     """
 
-    x_tr: jax.Array  # [G, M, D]
+    x_tr: jax.Array  # [M, D] (shared) or [G, M, D]
     mask: jax.Array  # [G, M]
     alpha: jax.Array  # [G, M]
     k_inv: jax.Array  # [G, M, M]
@@ -81,6 +84,11 @@ class MultiGP:
     num_heads: int
     # inference mode: 'exact' (incl. SOD subsets) or 'sor'
     approx: str = "exact"
+    # Fuse the rollout-time posterior prediction (gram + both contractions)
+    # into one Pallas kernel (ops/fused_predict.py).  Only takes effect for
+    # the SEArd / Sum(SEArd, MPK, MPK) kernel structures with a shared x_tr;
+    # everything else silently uses the XLA path.
+    use_pallas: bool = False
     # Relative diagonal jitter: the TPU's blocked f32 Cholesky needs ~1e-5 at
     # N~64 and ~1e-4 at N~384 to survive 1500 MLL epochs on near-noiseless
     # SE+P(2) fits (roundoff grows with N); 1e-4 costs no measurable accuracy
@@ -227,14 +235,15 @@ class MultiGP:
 
     def posterior(self, params: GPParams, x_tr, mask, y) -> Posterior:
         """Build the cached posterior (the ``pretrain_gp`` analog,
-        Model_learning.py:163-208).  ``x_tr``: [G, M, D]; ``mask``: [G, M];
-        ``y``: [G, M]."""
+        Model_learning.py:163-208).  ``x_tr``: [M, D] (shared across heads)
+        or [G, M, D]; ``mask``: [G, M]; ``y``: [G, M]."""
         norm = (
             jnp.maximum(jnp.max(jnp.abs(y) * mask, axis=-1), jnp.finfo(y.dtype).tiny)
             if self.normalize_outputs
             else jnp.ones(self.num_heads, y.dtype)
         )
-        alpha, k_inv = jax.vmap(self._posterior_head)(
+        x_axis = None if x_tr.ndim == 2 else 0
+        alpha, k_inv = jax.vmap(self._posterior_head, in_axes=(0, 0, x_axis, 0, 0, 0))(
             params.kernel, params.log_sigma_n, x_tr, y, mask, norm
         )
         return Posterior(x_tr=x_tr, mask=mask, alpha=alpha, k_inv=k_inv, norm=norm)
@@ -247,15 +256,85 @@ class MultiGP:
         """
         if self.approx == "sor":
             return self.sor_predict(params, post, x_star)
+        if self.use_pallas and post.x_tr.ndim == 2:
+            fused = self._predict_fused(params, post, x_star)
+            if fused is not None:
+                return fused
+        # Broadcast shared x_tr to the head axis: the per-head VPU reduce in
+        # the Gram is measurably faster in-scan than the K=D matmul the
+        # unbatched form lowers to on the MXU.
+        x_tr = post.x_tr
+        if x_tr.ndim == 2:
+            x_tr = jnp.broadcast_to(x_tr, (self.num_heads,) + x_tr.shape)
         return jax.vmap(
             lambda kp, xt, m, a, ki, nm: self._predict_head(kp, xt, m, a, ki, nm, x_star)
-        )(params.kernel, post.x_tr, post.mask, post.alpha, post.k_inv, post.norm)
+        )(params.kernel, x_tr, post.mask, post.alpha, post.k_inv, post.norm)
+
+    def _fused_structure(self):
+        """Returns ('se' | 'se+p2' | None) if the kernel matches a fused
+        Pallas predict structure (full active_dims, identity order)."""
+        from . import kernels as _k
+
+        def full_dims(kk, d_expect=None):
+            return kk.active_dims is not None and list(kk.active_dims) == list(
+                range(len(kk.active_dims))
+            )
+
+        k = self.kernel
+        if isinstance(k, _k.SEArd) and full_dims(k):
+            return "se"
+        if (
+            isinstance(k, _k.Sum)
+            and len(k.members) == 3
+            and isinstance(k.members[0], _k.SEArd)
+            and isinstance(k.members[1], _k.MPK)
+            and isinstance(k.members[2], _k.MPK)
+            and k.members[1].degree == 1
+            and k.members[1].offset
+            and k.members[2].degree == 2
+            and not k.members[2].offset
+            and all(full_dims(m) for m in k.members)
+        ):
+            return "se+p2"
+        return None
+
+    def _predict_fused(self, params: GPParams, post: Posterior, x_star):
+        structure = self._fused_structure()
+        if structure is None or x_star.ndim != 2:
+            return None
+        from ..ops import fused_predict as fp
+
+        kp = params.kernel
+        if structure == "se":
+            se = kp
+            d = se["log_lengthscales"].shape[-1]
+            poly1 = jnp.zeros((self.num_heads, d + 1), x_star.dtype)
+            poly2a = jnp.zeros((self.num_heads, d), x_star.dtype)
+            poly2b = jnp.zeros((self.num_heads, d), x_star.dtype)
+            use_poly = False
+        else:
+            se = kp[0]
+            poly1 = jnp.exp(2.0 * kp[1]["log_sigma_diag"][:, 0, :])
+            poly2a = jnp.exp(2.0 * kp[2]["log_sigma_diag"][:, 0, :])
+            poly2b = jnp.exp(2.0 * kp[2]["log_sigma_diag"][:, 1, :])
+            use_poly = True
+        se_w = jnp.exp(-2.0 * se["log_lengthscales"])
+        se_lam = jnp.exp(se["log_lambda"]).reshape(self.num_heads)
+        interpret = jax.default_backend() != "tpu"
+        kalpha, quad = fp.gram_contract(
+            se_w, se_lam, poly1, poly2a, poly2b, x_star, post.x_tr,
+            post.alpha, post.k_inv, post.mask, use_poly, interpret,
+        )
+        mean_prior = jax.vmap(lambda p: self.kernel.mean(p, x_star))(params.kernel)
+        diag = jax.vmap(lambda p: self.kernel.diag(p, x_star))(params.kernel)
+        mean = mean_prior + kalpha
+        var = jnp.maximum(diag - quad, self.jitter * diag)
+        return mean * post.norm[:, None], var * (post.norm**2)[:, None]
 
     def fit_posterior(self, params: GPParams, data: GPData) -> Posterior:
         """Posterior over the full (shared) dataset — exact inference path."""
-        x_tr = jnp.broadcast_to(data.x, (self.num_heads,) + data.x.shape)
         mask = jnp.broadcast_to(data.mask, (self.num_heads,) + data.mask.shape)
-        return self.posterior(params, x_tr, mask, data.y)
+        return self.posterior(params, data.x, mask, data.y)
 
     # ---------------- Subset-of-Regressors approximation ----------------
     # SOR replaces k(x,x') by k(x,U) K_UU^-1 k(U,x') for an inducing set U
@@ -296,8 +375,7 @@ class MultiGP:
                 kp, lsn, data.x, yy, data.mask, ss, nm
             )
         )(params.kernel, params.log_sigma_n, data.y, sel, norm)
-        x_tr = jnp.broadcast_to(data.x, (self.num_heads,) + data.x.shape)
-        return Posterior(x_tr=x_tr, mask=sel, alpha=alpha, k_inv=sigma, norm=norm)
+        return Posterior(x_tr=data.x, mask=sel, alpha=alpha, k_inv=sigma, norm=norm)
 
     def _sor_predict_head(self, kparams, u, sel, alpha, sigma, norm, x_star):
         hp = jax.lax.Precision.HIGHEST
@@ -308,6 +386,8 @@ class MultiGP:
         return mean * norm, var * norm * norm
 
     def sor_predict(self, params: GPParams, post: Posterior, x_star: jax.Array):
+        x_axis = None if post.x_tr.ndim == 2 else 0
         return jax.vmap(
-            lambda kp, u, ss, a, sg, nm: self._sor_predict_head(kp, u, ss, a, sg, nm, x_star)
+            lambda kp, u, ss, a, sg, nm: self._sor_predict_head(kp, u, ss, a, sg, nm, x_star),
+            in_axes=(0, x_axis, 0, 0, 0, 0),
         )(params.kernel, post.x_tr, post.mask, post.alpha, post.k_inv, post.norm)

@@ -152,7 +152,16 @@ class SEArd(Kernel):
         return _take_dims(X, self.active_dims) / ls
 
     def gram(self, params, X1, X2):
-        d = sq_dist(self._scaled(params, X1), self._scaled(params, X2))
+        # Weighted direct differences: diff^2 is computed on the UNSCALED
+        # inputs (head-independent, so XLA hoists it out of a vmap over
+        # stacked head params) and the per-head inverse-lengthscales enter
+        # as a positive-weighted reduce — cancellation-free (see sq_dist)
+        # and shared across GP heads in the rollout hot loop.
+        a = _take_dims(X1, self.active_dims)
+        b = _take_dims(X2, self.active_dims)
+        diff = a[..., :, None, :] - b[..., None, :, :]
+        w = jnp.exp(-2.0 * params["log_lengthscales"])
+        d = jnp.einsum("...nmd,...d->...nm", diff * diff, w, precision=HIGHEST)
         return jnp.exp(params["log_lambda"]) * jnp.exp(-d)
 
     def diag(self, params, X):
