@@ -71,8 +71,11 @@ def build(cfg: UR5Config):
         angle_indices=tuple(range(6)), not_angle_indices=tuple(range(6, 12)),
     )
     assert model.gp_input_dim == 24
+    # normalize_outputs: six heads with very different velocity-delta scales
     gp = MultiGP(
-        kernel=K.se_plus_volterra(active_dims=tuple(range(24)), degree=2), num_heads=6
+        kernel=K.se_plus_volterra(active_dims=tuple(range(24)), degree=2),
+        num_heads=6,
+        normalize_outputs=True,
     )
     policy = SumOfGaussiansTracking(
         feature_dim=2 * STATE_DIM, input_dim=INPUT_DIM, num_basis=cfg.num_basis,
@@ -84,9 +87,14 @@ def build(cfg: UR5Config):
     exploration = PDController(
         state_dim=STATE_DIM, input_dim=INPUT_DIM, target_traj=target_traj, u_max=U_MAX
     )
+    # per-trial lengthscale curriculum (the reference's flg_var_lengthscales
+    # feature, Cost_function.py:104-147): a wide first-trial cost keeps the
+    # saturated tracking objective informative while the policy is far from
+    # the tube, then tightens to the reference's 0.5/1.0 scales
     cost = SaturatedTrajectoryTracking(
         target_traj=target_traj,
-        lengthscales=np.array([0.5] * 6 + [1.0] * 6),
+        lengthscales=np.array([[2.0] * 6 + [4.0] * 6, [0.5] * 6 + [1.0] * 6]),
+        per_trial=True,
         used_indices=tuple(range(12)),
     )
     plant = MujocoPlant(
@@ -95,7 +103,8 @@ def build(cfg: UR5Config):
     init_dist = InitialStateDistribution(
         kind="gaussian", mean=target_traj[0], var=1e-6 * np.ones(STATE_DIM)
     )
-    engine = RolloutEngine(model=model, gp=gp, policy=policy, remat=True)
+    # long-horizon (200-step) BPTT: cap cotangents (see rollout._clip_bptt)
+    engine = RolloutEngine(model=model, gp=gp, policy=policy, remat=True, bptt_clip=1.0)
     optimizer = PolicyOptimizer(
         engine=engine, cost=cost, init_dist=init_dist,
         num_particles=cfg.num_particles, horizon=num_steps,
@@ -120,7 +129,11 @@ def build(cfg: UR5Config):
         ],
         axis=1,
     )
-    weight_init = 2.0 * (np.asarray(jax.random.uniform(k2, (INPUT_DIM, cfg.num_basis))) - 0.5)
+    # gentle initial weights: the saturated tracking cost only has gradient
+    # while particles stay near the trajectory tube, so the initial policy
+    # must not fling the arm (the reference's +-1 init works against its
+    # heavily-damped plant; ours is calibrated to the same effect)
+    weight_init = 0.3 * 2.0 * (np.asarray(jax.random.uniform(k2, (INPUT_DIM, cfg.num_basis))) - 0.5)
     agent.policy_params = policy.init_params(
         kc, lengthscales=np.pi * np.ones(24), centers=centers_init, weight=weight_init
     )

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Train MC-PILCO on Furuta-pendulum swing-up with the semiparametric model
+(the SP_Speed_Model_learning_Furuta family; the reference ships the model but
+no runnable scenario — see scenarios/furuta.py)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser("train furuta")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--trials", type=int, default=None)
+    p.add_argument("--no-semiparametric", action="store_true")
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    import numpy as np
+
+    from mcpilco_tpu.scenarios import furuta as scen
+
+    cfg = scen.FurutaConfig(
+        seed=args.seed,
+        semiparametric=not args.no_semiparametric,
+        log_dir=args.log_dir or f"results_tmp/furuta_{args.seed}",
+    )
+    if args.smoke:
+        cfg = cfg.smoke()
+    if args.trials is not None:
+        cfg = dataclasses.replace(cfg, num_trials=args.trials)
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    agent, kwargs = scen.build(cfg)
+    t0 = time.time()
+    agent.reinforce(**kwargs)
+    print(f"\n[train_furuta] total wall-clock {time.time() - t0:.1f}s")
+    final = agent.trials[-1]
+    tail = final.true[-(len(final.true) // 4):]
+    ok = bool(np.all(np.abs(np.abs(tail[:, 1]) - np.pi) < 0.3))
+    print(f"[train_furuta] final-trial swing-up success: {ok}")
+    print("[train_furuta] tail |theta_v|-pi:", np.round(np.abs(np.abs(final.true[-5:, 1]) - np.pi), 3))
+    return 0 if (ok or args.smoke) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
