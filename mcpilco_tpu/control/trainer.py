@@ -111,6 +111,8 @@ class _Carry(NamedTuple):
     std_hist: jax.Array
     states: jax.Array
     inputs: jax.Array
+    lr0: jax.Array
+    p_dropout0: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +142,8 @@ class PolicyOptimizer:
     # finite.  Clipping bounds the damage of those spikes; typical healthy
     # norms in the shipped scenarios are O(10).
     grad_clip_norm: float = 100.0
+    # host-driven chunking of the compiled loop (see optimize docstring)
+    chunk_steps: int = 500
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -156,22 +160,102 @@ class PolicyOptimizer:
         c, s = self.cost(res.states, res.inputs, trial_index)
         return c, (s, res.states, res.inputs)
 
-    @partial(jax.jit, static_argnums=0)
     def optimize(
         self,
         key: jax.Array,
         policy_params,
         gp_params,
         posterior,
-        num_opt_steps: jax.Array,
-        lr0: jax.Array,
-        p_dropout0: jax.Array,
-        trial_index: jax.Array = 0,
+        num_opt_steps,
+        lr0,
+        p_dropout0,
+        trial_index=0,
     ) -> OptResult:
-        """Run up to ``num_opt_steps`` (<= max_opt_steps) Adam steps."""
+        """Run up to ``num_opt_steps`` (<= max_opt_steps) Adam steps.
+
+        The compiled while_loop executes in host-driven chunks of
+        ``chunk_steps``: one uninterrupted device execution of a long-horizon
+        config can run for minutes, which trips RPC deadlines on tunneled
+        TPU runtimes (observed as `TPU worker crashed` on the 200-step-horizon
+        UR5 program).  The carry stays on device between chunks, so the only
+        per-chunk host cost is a scalar `done` readback.
+        """
+        num_steps = int(min(int(num_opt_steps), self.max_opt_steps))
+        carry = self._optimize_init(key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index)
+        end = 0
+        while end < num_steps:
+            end = min(end + self.chunk_steps, num_steps)
+            carry = self._optimize_chunk(
+                carry, key, gp_params, posterior, jnp.int32(end), trial_index
+            )
+            if bool(carry.done):
+                break
+        return OptResult(
+            policy_params=carry.params,
+            cost_history=carry.cost_hist,
+            std_history=carry.std_hist,
+            steps_done=carry.step,
+            states=carry.states,
+            inputs=carry.inputs,
+            reinit_count=carry.reinit_count,
+            final_lr=carry.lr,
+            final_p_dropout=carry.p_drop,
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def _optimize_init(
+        self, key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index
+    ) -> "_Carry":
         f32 = jnp.float32
         grad_fn = jax.value_and_grad(self._rollout_cost, has_aux=True)
-        mask = self.engine.policy.param_mask(policy_params)
+        lr0 = jnp.asarray(lr0, f32)
+        p_dropout0 = jnp.asarray(p_dropout0, f32)
+        # --- probe rollout to initialize the convergence monitor
+        # (MC_PILCO.py:430-463; dropout IS applied there despite the name)
+        probe_key = prng.fold(key, 0x9999)
+        (c0, (s0_, st0, in0)), _ = grad_fn(
+            policy_params, gp_params, posterior, probe_key, p_dropout0, trial_index
+        )
+        cost_prev0 = jnp.where(jnp.isnan(c0), 0.0, c0)
+        return _Carry(
+            step=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            params=policy_params,
+            adam=adam_init(policy_params),
+            lr=lr0,
+            p_drop=p_dropout0,
+            thr=jnp.asarray(self.min_diff_cost, f32),
+            gate_step=jnp.asarray(self.min_step, f32),
+            consec=jnp.zeros((), jnp.int32),
+            es1=jnp.zeros((), f32),
+            es2=jnp.zeros((), f32),
+            dcr=jnp.zeros((), f32),
+            cost_prev=cost_prev0,
+            reinit_count=jnp.zeros((), jnp.int32),
+            cost_hist=jnp.zeros(self.max_opt_steps, f32),
+            std_hist=jnp.zeros(self.max_opt_steps, f32),
+            states=st0,
+            inputs=in0,
+            lr0=lr0,
+            p_dropout0=p_dropout0,
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def _optimize_chunk(
+        self,
+        carry: "_Carry",
+        key: jax.Array,
+        gp_params,
+        posterior,
+        chunk_end: jax.Array,
+        trial_index: jax.Array,
+    ) -> "_Carry":
+        """Advance the compiled optimization loop until ``chunk_end`` or exit."""
+        f32 = jnp.float32
+        lr0 = carry.lr0
+        p_dropout0 = carry.p_dropout0
+        grad_fn = jax.value_and_grad(self._rollout_cost, has_aux=True)
+        mask = self.engine.policy.param_mask(carry.params)
 
         def masked(grads):
             grads = jax.tree_util.tree_map(
@@ -184,18 +268,6 @@ class PolicyOptimizer:
                 scale = jnp.minimum(1.0, self.grad_clip_norm / (gn + 1e-12))
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             return grads
-
-        lr0 = jnp.asarray(lr0, f32)
-        p_dropout0 = jnp.asarray(p_dropout0, f32)
-        num_opt_steps = jnp.minimum(jnp.asarray(num_opt_steps, jnp.int32), self.max_opt_steps)
-
-        # --- probe rollout to initialize the convergence monitor
-        # (MC_PILCO.py:430-463; dropout IS applied there despite the name)
-        probe_key = prng.fold(key, 0x9999)
-        (c0, (s0_, st0, in0)), _ = grad_fn(
-            policy_params, gp_params, posterior, probe_key, p_dropout0, trial_index
-        )
-        cost_prev0 = jnp.where(jnp.isnan(c0), 0.0, c0)
 
         def reinit_all(c: _Carry, kt) -> _Carry:
             kp = prng.stream(kt, prng.STREAM_POLICY_INIT)
@@ -300,37 +372,6 @@ class PolicyOptimizer:
             return jax.lax.cond(is_nan, lambda cc: reinit_all(cc, kt), lambda cc: cc, new_c)
 
         def cond(c: _Carry):
-            return (c.step < num_opt_steps) & ~c.done
+            return (c.step < chunk_end) & ~c.done
 
-        carry = _Carry(
-            step=jnp.zeros((), jnp.int32),
-            done=jnp.zeros((), bool),
-            params=policy_params,
-            adam=adam_init(policy_params),
-            lr=lr0,
-            p_drop=p_dropout0,
-            thr=jnp.asarray(self.min_diff_cost, f32),
-            gate_step=jnp.asarray(self.min_step, f32),
-            consec=jnp.zeros((), jnp.int32),
-            es1=jnp.zeros((), f32),
-            es2=jnp.zeros((), f32),
-            dcr=jnp.zeros((), f32),
-            cost_prev=cost_prev0,
-            reinit_count=jnp.zeros((), jnp.int32),
-            cost_hist=jnp.zeros(self.max_opt_steps, f32),
-            std_hist=jnp.zeros(self.max_opt_steps, f32),
-            states=st0,
-            inputs=in0,
-        )
-        out = jax.lax.while_loop(cond, body, carry)
-        return OptResult(
-            policy_params=out.params,
-            cost_history=out.cost_hist,
-            std_history=out.std_hist,
-            steps_done=out.step,
-            states=out.states,
-            inputs=out.inputs,
-            reinit_count=out.reinit_count,
-            final_lr=out.lr,
-            final_p_dropout=out.p_drop,
-        )
+        return jax.lax.while_loop(cond, body, carry)

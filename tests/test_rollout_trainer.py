@@ -219,11 +219,24 @@ class TestPolicyOptimizer:
         opt, gp_params, post, pol_params = self._opt()
         r1 = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
                           num_opt_steps=10, lr0=0.02, p_dropout0=0.0)
-        n1 = opt.optimize._cache_size()
+        n1 = opt._optimize_chunk._cache_size()
         r2 = opt.optimize(jax.random.PRNGKey(1), r1.policy_params, gp_params, post,
                           num_opt_steps=20, lr0=0.01, p_dropout0=0.25)
-        assert opt.optimize._cache_size() == n1  # lr/steps/dropout are dynamic
+        assert opt._optimize_chunk._cache_size() == n1  # lr/steps/dropout dynamic
         assert int(r2.steps_done) == 20
+
+    def test_chunked_execution_matches_single_chunk(self):
+        import dataclasses
+
+        opt, gp_params, post, pol_params = self._opt()
+        opt_small = dataclasses.replace(opt, chunk_steps=7)
+        r1 = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                          num_opt_steps=30, lr0=0.02, p_dropout0=0.0)
+        r2 = opt_small.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                                num_opt_steps=30, lr0=0.02, p_dropout0=0.0)
+        np.testing.assert_allclose(
+            np.asarray(r1.cost_history)[:30], np.asarray(r2.cost_history)[:30], rtol=1e-5
+        )
 
     def test_dropout_active_path(self):
         opt, gp_params, post, pol_params = self._opt(p_drop_reduction=0.125)
