@@ -314,6 +314,10 @@ class PDController(PolicyBase):
     target_traj: Tuple[Tuple[float, ...], ...] = ()
     u_max: float = 1.0
     trainable: bool = False
+    # exploration dither added to the PD torque before squashing: gives the
+    # GP coverage of the torque dims beyond the exact PD law (the polynomial
+    # kernel extrapolates wildly in under-covered input dims)
+    noise_std: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "u_max", _umax_static(self.u_max))
@@ -335,4 +339,8 @@ class PDController(PolicyBase):
         err = traj[idx] - states
         half = self.state_dim // 2
         u = params["sqrt_kp"] ** 2 * err[..., :half] + params["sqrt_kd"] ** 2 * err[..., half:]
+        if self.noise_std > 0 and key is not None:
+            u = u + self.noise_std * jax.random.normal(
+                jax.random.fold_in(key, 0x9D), u.shape, u.dtype
+            )
         return squash(u, self.u_max)

@@ -85,7 +85,8 @@ def build(cfg: UR5Config):
         reinit_weight=1.0,
     )
     exploration = PDController(
-        state_dim=STATE_DIM, input_dim=INPUT_DIM, target_traj=target_traj, u_max=U_MAX
+        state_dim=STATE_DIM, input_dim=INPUT_DIM, target_traj=target_traj, u_max=U_MAX,
+        noise_std=0.05,
     )
     # per-trial lengthscale curriculum (the reference's flg_var_lengthscales
     # feature, Cost_function.py:104-147): a wide first-trial cost keeps the
@@ -133,7 +134,7 @@ def build(cfg: UR5Config):
     # while particles stay near the trajectory tube, so the initial policy
     # must not fling the arm (the reference's +-1 init works against its
     # heavily-damped plant; ours is calibrated to the same effect)
-    weight_init = 0.3 * 2.0 * (np.asarray(jax.random.uniform(k2, (INPUT_DIM, cfg.num_basis))) - 0.5)
+    weight_init = 0.02 * 2.0 * (np.asarray(jax.random.uniform(k2, (INPUT_DIM, cfg.num_basis))) - 0.5)
     agent.policy_params = policy.init_params(
         kc, lengthscales=np.pi * np.ones(24), centers=centers_init, weight=weight_init
     )
