@@ -7,19 +7,27 @@ The rollout hot loop evaluates, per scan step and per GP head,
     var  = k_diag - sum((k* @ K^-1) * k*, -1)
 
 XLA runs this as several kernels with k* round-tripping through HBM.  This
-module fuses the whole chain into one Pallas kernel per head-grid cell:
+module fuses the whole chain into one Pallas kernel per particle tile:
 distances, exp, the optional polynomial terms, and both contractions happen
-on a VMEM-resident k* tile, so HBM sees only the inputs (X_tr, alpha, K^-1)
-and the [G, P] outputs.
+on a VMEM-resident k* tile for every head (heads unrolled statically — G is
+2-6), so HBM sees only the inputs (X_tr, alpha, K^-1) and the [P, G] outputs.
 
 Gradients: the op is wrapped in ``jax.custom_vjp`` whose backward re-expresses
-the forward in plain jnp and differentiates that — bitwise-equivalent math
-(same formulas), XLA-compiled, so correctness never depends on hand-written
-kernel adjoints.
+the forward in plain jnp and differentiates that — same formulas, XLA-
+compiled, so correctness never depends on hand-written kernel adjoints.
 
 Supported kernel structures (the two shipped model families):
 - 'se':       SEArd alone
 - 'se+p2':    Sum(SEArd, MPK(deg1, offset), MPK(deg2, no offset))
+
+STATUS: experimental, off by default.  Values and gradients are verified in
+interpret mode (tests/test_fused_predict.py), but the measured end-to-end
+A/B on a TPU v5e (flagship cartpole optimize loop) is 8.3 ms/step fused vs
+6.2 ms/step XLA: the custom-vjp backward re-runs the XLA twin anyway, and
+XLA's own fusion of the forward leaves little HBM traffic to save at these
+sizes (M<=384).  Kept as the scaffold for a future fully-fused rollout-step
+kernel (the real win is keeping K^-1 VMEM-resident ACROSS scan steps, which
+needs the whole step in one kernel).
 """
 
 from __future__ import annotations
@@ -28,7 +36,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu only lowers on TPU; interpret mode works anywhere
@@ -40,49 +47,54 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 
-def _kernel_body(se_w_ref, se_lam_ref, p1_ref, p2a_ref, p2b_ref,
-                 xs_ref, xt_ref, alpha_ref, kinv_ref, mask_ref,
-                 mean_ref, var_ref, *, use_poly: bool):
-    """One (head, particle-tile) grid cell.
+def _make_body(G: int, use_poly: bool):
+    def body(se_w_ref, se_lam_ref, p1_ref, p2a_ref, p2b_ref,
+             xs_ref, xt_ref, alpha_ref, kinv_ref, mask_ref,
+             mean_ref, var_ref):
+        """One particle-tile grid cell; heads unrolled statically.
 
-    Shapes in VMEM:
-      xs [TP, D], xt [M, D], alpha [1, M], kinv [M, M], mask [1, M]
-      se_w [1, D], se_lam [1, 1]; poly diag weights p1 [1, D+1],
-      p2a/p2b [1, D] (degree-2 MPK factors, no offset)
-    Outputs: mean [1, TP], var [1, TP].
-    """
-    xs = xs_ref[:]  # [TP, D]
-    xt = xt_ref[:]  # [M, D]
-    w = se_w_ref[0, :]  # [D]
-    # weighted squared distances without cancellation: loop D (static, small)
-    d = jnp.zeros((xs.shape[0], xt.shape[0]), jnp.float32)
-    for dim in range(xs.shape[1]):
-        diff = xs[:, dim][:, None] - xt[:, dim][None, :]
-        d += w[dim] * diff * diff
-    k = se_lam_ref[0, 0] * jnp.exp(-d)  # [TP, M]
-    if use_poly:
-        p1 = p1_ref[0, :]  # [D+1] (last entry = offset weight)
-        lin1 = jax.lax.dot_general(
-            xs * p1[:-1][None, :], xt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + p1[-1]
-        a2 = jax.lax.dot_general(
-            xs * p2a_ref[0, :][None, :], xt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        b2 = jax.lax.dot_general(
-            xs * p2b_ref[0, :][None, :], xt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        k = k + lin1 + a2 * b2
-    k = k * mask_ref[0, :][None, :]
-    mean_ref[0, :] = jax.lax.dot_general(
-        k, alpha_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )[:, 0]
-    q = jax.lax.dot_general(
-        k, kinv_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    var_ref[0, :] = jnp.sum(q * k, axis=1)
+        VMEM blocks: xs [TP, D], xt [M, D], alpha [G, M], kinv [G, M, M],
+        mask [G, M], se_w [G, D], se_lam [G, 1], p1 [G, D+1], p2a/b [G, D].
+        Outputs: mean [TP, G], var [TP, G].
+        """
+        xs = xs_ref[:]  # [TP, D]
+        xt = xt_ref[:]  # [M, D]
+        D = xs.shape[1]
+        for g in range(G):
+            w = se_w_ref[g, :]
+            d = jnp.zeros((xs.shape[0], xt.shape[0]), jnp.float32)
+            for dim in range(D):
+                diff = xs[:, dim][:, None] - xt[:, dim][None, :]
+                d += w[dim] * diff * diff
+            k = se_lam_ref[g, 0] * jnp.exp(-d)  # [TP, M]
+            if use_poly:
+                p1w = p1_ref[g, 0:D]  # static slice: feature weights
+                p1off = p1_ref[g, D]  # static scalar: offset weight
+                lin1 = jax.lax.dot_general(
+                    xs * p1w[None, :], xt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + p1off
+                a2 = jax.lax.dot_general(
+                    xs * p2a_ref[g, :][None, :], xt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                b2 = jax.lax.dot_general(
+                    xs * p2b_ref[g, :][None, :], xt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                k = k + lin1 + a2 * b2
+            k = k * mask_ref[g, :][None, :]
+            mean_ref[:, g] = jax.lax.dot_general(
+                k, alpha_ref[g, :][:, None], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+            q = jax.lax.dot_general(
+                k, kinv_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            var_ref[:, g] = jnp.sum(q * k, axis=1)
+
+    return body
 
 
 def _pad_to(x, size, axis):
@@ -107,37 +119,36 @@ def fused_gram_contract(se_w, se_lam, poly1, poly2a, poly2b,
     G, D = se_w.shape
     P = x_star.shape[0]
     M = x_tr.shape[0]
-    TP = min(256, max(8, P))
+    TP = min(256, max(8, ((P + 7) // 8) * 8))
     P_pad = ((P + TP - 1) // TP) * TP
     x_star = _pad_to(x_star.astype(jnp.float32), P_pad, 0)
 
-    grid = (G, P_pad // TP)
+    grid = (P_pad // TP,)
     kw = dict(memory_space=_VMEM) if _VMEM is not None and not interpret else {}
     out_shape = (
-        jax.ShapeDtypeStruct((G, P_pad), jnp.float32),
-        jax.ShapeDtypeStruct((G, P_pad), jnp.float32),
+        jax.ShapeDtypeStruct((P_pad, G), jnp.float32),
+        jax.ShapeDtypeStruct((P_pad, G), jnp.float32),
     )
+    full = lambda *shape: pl.BlockSpec(shape, lambda p: tuple(0 for _ in shape), **kw)
     in_specs = [
-        pl.BlockSpec((1, D), lambda g, p: (g, 0), **kw),          # se_w
-        pl.BlockSpec((1, 1), lambda g, p: (g, 0), **kw),          # se_lam
-        pl.BlockSpec((1, D + 1), lambda g, p: (g, 0), **kw),      # poly1
-        pl.BlockSpec((1, D), lambda g, p: (g, 0), **kw),          # poly2a
-        pl.BlockSpec((1, D), lambda g, p: (g, 0), **kw),          # poly2b
-        pl.BlockSpec((TP, D), lambda g, p: (p, 0), **kw),         # x_star tile
-        pl.BlockSpec((M, D), lambda g, p: (0, 0), **kw),          # x_tr
-        pl.BlockSpec((1, M), lambda g, p: (g, 0), **kw),          # alpha
-        pl.BlockSpec((1, M, M), lambda g, p: (g, 0, 0), **kw),    # k_inv
-        pl.BlockSpec((1, M), lambda g, p: (g, 0), **kw),          # mask
+        full(G, D),          # se_w
+        full(G, 1),          # se_lam
+        full(G, D + 1),      # poly1
+        full(G, D),          # poly2a
+        full(G, D),          # poly2b
+        pl.BlockSpec((TP, D), lambda p: (p, 0), **kw),  # x_star tile
+        full(M, D),          # x_tr
+        full(G, M),          # alpha
+        full(G, M, M),       # k_inv
+        full(G, M),          # mask
     ]
     out_specs = (
-        pl.BlockSpec((1, TP), lambda g, p: (g, p), **kw),
-        pl.BlockSpec((1, TP), lambda g, p: (g, p), **kw),
+        pl.BlockSpec((TP, G), lambda p: (p, 0), **kw),
+        pl.BlockSpec((TP, G), lambda p: (p, 0), **kw),
     )
 
-    body = partial(_kernel_body, use_poly=use_poly)
-
     kalpha, quad = pl.pallas_call(
-        body,
+        _make_body(G, use_poly),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -155,7 +166,7 @@ def fused_gram_contract(se_w, se_lam, poly1, poly2a, poly2b,
         k_inv.astype(jnp.float32),
         mask.astype(jnp.float32),
     )
-    return kalpha[:, :P], quad[:, :P]
+    return kalpha[:P].T, quad[:P].T
 
 
 def _reference_gram_contract(se_w, se_lam, poly1, poly2a, poly2b,
