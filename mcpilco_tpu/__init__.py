@@ -20,7 +20,7 @@ Subpackages
 - :mod:`mcpilco_tpu.control`  rollout engine, trainers, the MC-PILCO orchestrator
 - :mod:`mcpilco_tpu.envs`     on-device ODE plants + host-side system protocol
 - :mod:`mcpilco_tpu.parallel` device mesh and sharding helpers
-- :mod:`mcpilco_tpu.utils`    PRNG threading, configs, checkpointing, logging
+- :mod:`mcpilco_tpu.utils`    PRNG threading and checkpointing
 """
 
 __version__ = "0.1.0"

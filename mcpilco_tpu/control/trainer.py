@@ -113,6 +113,8 @@ class _Carry(NamedTuple):
     inputs: jax.Array
     lr0: jax.Array
     p_dropout0: jax.Array
+    best_cost: jax.Array
+    best_params: object
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +146,10 @@ class PolicyOptimizer:
     grad_clip_norm: float = 100.0
     # host-driven chunking of the compiled loop (see optimize docstring)
     chunk_steps: int = 500
+    # return the best-cost iterate instead of the last one: under noisy or
+    # clipped gradients late trials can drift upward after converging, and
+    # snapshotting the best params makes that drift harmless
+    keep_best: bool = True
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -191,7 +197,10 @@ class PolicyOptimizer:
             if bool(carry.done):
                 break
         return OptResult(
-            policy_params=carry.params,
+            policy_params=jax.tree_util.tree_map(
+                lambda b, l: jnp.where(jnp.isfinite(carry.best_cost), b, l),
+                carry.best_params, carry.params,
+            ) if self.keep_best else carry.params,
             cost_history=carry.cost_hist,
             std_history=carry.std_hist,
             steps_done=carry.step,
@@ -238,6 +247,8 @@ class PolicyOptimizer:
             inputs=in0,
             lr0=lr0,
             p_dropout0=p_dropout0,
+            best_cost=jnp.asarray(jnp.inf, f32),
+            best_params=policy_params,
         )
 
     @partial(jax.jit, static_argnums=0)
@@ -349,7 +360,14 @@ class PolicyOptimizer:
             )
 
             cost_logged = jnp.where(is_nan, c.cost_prev, cost)
+            improved = ~is_nan & (cost < c.best_cost)
+            best_cost = jnp.where(improved, cost, c.best_cost)
+            best_params = jax.tree_util.tree_map(
+                lambda nb, ob: jnp.where(improved, nb, ob), c.params, c.best_params
+            )
             new_c = c._replace(
+                best_cost=best_cost,
+                best_params=best_params,
                 step=c.step + 1,
                 done=c.done | exit_now,
                 params=new_params,
