@@ -380,16 +380,21 @@ class MCPilco:
             )
             if verbose:
                 c = log.cost_history
+                cost_span = f"{c[0]:.2f} -> {c[-1]:.2f}" if len(c) else "(no steps)"
                 print(
                     f"[mc-pilco] policy opt: {log.steps_done} steps, cost "
-                    f"{c[0]:.2f} -> {c[-1]:.2f}, reinits={log.reinit_count}, "
+                    f"{cost_span}, reinits={log.reinit_count}, "
                     f"{log.wall_clock_s:.1f}s "
                     f"({1e3 * log.wall_clock_s / max(log.steps_done, 1):.2f} ms/step)"
                 )
             self.save_checkpoint(stage=f"policy_trial{trial}")
 
             if self.plant is not None:
-                self.collect(T_control, trial_index=trial + 1, exploration=False)
+                # num_collections keeps control-trial randomness disjoint from
+                # exploration trials even when num_explorations > 1 (a
+                # trial_index of trial+1 would collide with exploration index
+                # trial+1 in collect()/_sample_x0)
+                self.collect(T_control, trial_index=self.num_collections, exploration=False)
                 if verbose:
                     print(f"[mc-pilco] pre-update one-step MSE: {self.one_step_mse()}")
                     print(f"[mc-pilco] pre-update rollout  MSE: {self.rollout_mse()}")

@@ -82,7 +82,7 @@ def adam_update(grads, state: AdamState, params, lr, b1=0.9, b2=0.999, eps=1e-8)
 
 class OptResult(NamedTuple):
     policy_params: object
-    cost_history: jax.Array  # [max_opt_steps], padded with cost at exit
+    cost_history: jax.Array  # [max_opt_steps]; entries past steps_done are 0
     std_history: jax.Array
     steps_done: jax.Array
     states: jax.Array  # last rollout [T, P, ds]

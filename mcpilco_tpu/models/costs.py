@@ -55,13 +55,21 @@ class QuadraticDistance(CostBase):
     target_state: Tuple[float, ...]
     lengthscales: Tuple[float, ...]
     active_dims: Optional[Tuple[int, ...]] = None
+    # state dims to take |.| of before the distance — makes +target and
+    # -target equivalent for angle dims, the CartPoleCost |theta| idiom
+    # (Cost_function.py:177)
+    abs_dims: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         object.__setattr__(self, "target_state", tuple(np.asarray(self.target_state, float)))
         object.__setattr__(self, "lengthscales", tuple(np.asarray(self.lengthscales, float).reshape(-1)))
         object.__setattr__(self, "active_dims", _as_tuple(self.active_dims))
+        object.__setattr__(self, "abs_dims", _as_tuple(self.abs_dims))
 
     def _dist(self, states):
+        if self.abs_dims is not None:
+            idx = jnp.array(self.abs_dims)
+            states = states.at[..., idx].set(jnp.abs(states[..., idx]))
         if self.active_dims is not None:
             states = states[..., jnp.array(self.active_dims)]
         ls = jnp.asarray(self.lengthscales, states.dtype)

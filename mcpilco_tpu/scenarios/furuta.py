@@ -83,9 +83,12 @@ def build(cfg: FurutaConfig):
         reinit_weight=cfg.u_max,
     )
     exploration = RandomExploration(state_dim=4, input_dim=1, u_max=cfg.u_max)
-    # saturated distance on [theta_v, dtheta_h]: pendulum up, arm at rest
+    # saturated distance on [|theta_v|, dtheta_h]: pendulum up, arm at rest;
+    # abs makes the physically equivalent -pi upright equally rewarded
+    # (the CartPoleCost |theta| idiom, Cost_function.py:177)
     cost = SaturatedDistance(
-        target_state=(np.pi, 0.0), lengthscales=(2.0, 4.0), active_dims=(1, 2)
+        target_state=(np.pi, 0.0), lengthscales=(2.0, 4.0), active_dims=(1, 2),
+        abs_dims=(1,),
     )
     plant = ODEPlant(ode_name="furuta", noise_std=(cfg.std_noise,) * 4, substeps=40)
     init_dist = InitialStateDistribution(kind="gaussian", mean=np.zeros(4), var=1e-6 * np.ones(4))

@@ -122,11 +122,11 @@ def build(cfg: UR5Config):
     )
     # scripted policy init (test_mcpilco_ur5_mujoco.py:126-147)
     kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
-    k1, k2 = jax.random.split(kc)
+    k1, k1b, k2 = jax.random.split(kc, 3)
     centers_init = np.concatenate(
         [
             np.pi / 2 * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 12))) - 0.5),
-            0.1 * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 12))) - 0.5),
+            0.1 * 2 * (np.asarray(jax.random.uniform(k1b, (cfg.num_basis, 12))) - 0.5),
         ],
         axis=1,
     )
