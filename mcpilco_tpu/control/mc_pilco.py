@@ -108,7 +108,13 @@ class MCPilco:
         log_dir: Optional[str] = None,
         bucket: int = 64,
         fixed_initial_state: bool = False,
+        mesh=None,
     ):
+        if mesh is not None:
+            # shard the production policy-optimization path over the mesh's
+            # particle axis (see trainer.PolicyOptimizer.mesh)
+            optimizer = dataclasses.replace(optimizer, mesh=mesh)
+        self.mesh = mesh
         self.dt = dt
         self.model = model
         self.gp = gp

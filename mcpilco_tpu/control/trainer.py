@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.costs import CostBase
+from ..parallel import mesh as mesh_mod
 from ..utils import prng
 from .rollout import InitialStateDistribution, RolloutEngine
 
@@ -153,6 +154,14 @@ class PolicyOptimizer:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # Optional jax.sharding.Mesh with a particle axis (parallel/mesh.py).
+    # When set, every rollout inside the compiled while_loop shards the
+    # particle batch across the mesh (pure data parallelism: particles are
+    # independent given policy + posterior); parameters and the posterior
+    # cache replicate, and XLA emits the cost-mean / policy-gradient psums
+    # over ICI from the sharding constraints.  None = single device.
+    # (The reference has no distributed backend at all — SURVEY §2.6.)
+    mesh: Optional[object] = None
 
     # ------------------------------------------------------------------
 
@@ -160,6 +169,11 @@ class PolicyOptimizer:
         s0 = self.init_dist.sample(
             prng.stream(key, prng.STREAM_INIT_PARTICLES), self.num_particles
         )
+        if self.mesh is not None:
+            # one constraint on the scan's initial carry is enough: the
+            # particle axis is preserved by every step, so XLA propagates
+            # the sharding through the whole rollout + BPTT
+            s0 = mesh_mod.shard_particles(self.mesh, s0)
         res = self.engine.simulate(
             key, params, gp_params, posterior, s0, self.horizon, p_dropout=p_drop
         )

@@ -1,14 +1,20 @@
-"""Sharded training steps over a device mesh.
+"""Sharded training over a device mesh.
 
-``make_sharded_train_step`` builds the full MC-PILCO training step — a GP
-marginal-likelihood gradient step on all heads plus a policy-gradient step
-through the particle rollout — with the particle axis sharded across the mesh
-and parameters replicated.  XLA inserts the ICI collectives (gradient psum,
-cost-mean psum) from the sharding constraints; nothing here issues an explicit
-collective.
+Two surfaces:
 
-This is both the multi-chip execution path and the driver's compile-check
-surface (``__graft_entry__.dryrun_multichip``).
+- ``sharded_training_round`` — the PRODUCTION multi-chip path: the real GP
+  MLL fit (``MultiGP.fit``) followed by the real policy optimizer
+  (``PolicyOptimizer.optimize`` — the compiled while_loop with convergence
+  monitor, NaN guard and host chunking) with the particle axis sharded over
+  the mesh (``PolicyOptimizer.mesh``).  This is what
+  ``__graft_entry__.dryrun_multichip`` compiles and runs.
+- ``make_sharded_train_step`` — a minimal single fused step (one GP MLL
+  gradient step + one policy-gradient step), kept as a fast sharding
+  unit-test surface.
+
+XLA inserts the ICI collectives (gradient psum, cost-mean psum) from the
+sharding constraints; nothing here issues an explicit collective.  The
+reference has no distributed analog (SURVEY §2.6).
 """
 
 from __future__ import annotations
@@ -19,10 +25,46 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..control.trainer import AdamState, PolicyOptimizer, adam_init, adam_update
+from ..control.trainer import AdamState, OptResult, PolicyOptimizer, adam_init, adam_update
 from ..models.gp import GPData, GPParams
 from ..utils import prng
 from . import mesh as mesh_mod
+
+
+class TrainingRoundOut(NamedTuple):
+    gp_params: GPParams
+    mll_history: jax.Array  # [num_gp_epochs]
+    opt: OptResult
+
+
+def sharded_training_round(
+    optimizer: PolicyOptimizer,
+    gp_params: GPParams,
+    data: GPData,
+    policy_params,
+    key: jax.Array,
+    num_gp_epochs: int = 5,
+    gp_lr: float = 0.01,
+    num_opt_steps: int = 6,
+    lr0: float = 0.01,
+    p_dropout0: float = 0.0,
+) -> TrainingRoundOut:
+    """One full MC-PILCO training round through the production code path,
+    multi-chip: fit GP hyperparameters (replicated data, vmapped heads),
+    rebuild the posterior cache, then run the real compiled policy-opt
+    while_loop with particles sharded over ``optimizer.mesh``."""
+    if optimizer.mesh is None:
+        raise ValueError("sharded_training_round needs a PolicyOptimizer with a mesh")
+    gp = optimizer.engine.gp
+    gp_params, mll_hist = gp.fit(
+        gp_params, data, num_epochs=num_gp_epochs, learning_rate=gp_lr
+    )
+    posterior = gp.fit_posterior(gp_params, data)
+    opt = optimizer.optimize(
+        key, policy_params, gp_params, posterior,
+        num_opt_steps=num_opt_steps, lr0=lr0, p_dropout0=p_dropout0,
+    )
+    return TrainingRoundOut(gp_params=gp_params, mll_history=mll_hist, opt=opt)
 
 
 class ShardedStepOut(NamedTuple):

@@ -85,8 +85,10 @@ INPUT_DIM = 1
 GP_INPUT_DIM = 6  # [x, xd, thd, sin(th), cos(th), u]
 
 
-def build(cfg: CartpoleConfig) -> tuple:
-    """Returns (MCPilco, reinforce_kwargs)."""
+def build(cfg: CartpoleConfig, mesh=None) -> tuple:
+    """Returns (MCPilco, reinforce_kwargs).  ``mesh`` (optional
+    jax.sharding.Mesh with a particle axis) shards policy optimization
+    across devices — see trainer.PolicyOptimizer.mesh."""
     key = prng.root_key(cfg.seed)
 
     model = SpeedIntegration(
@@ -179,6 +181,7 @@ def build(cfg: CartpoleConfig) -> tuple:
         sod=sod_mod.SODConfig(threshold_mode="relative", threshold=(0.5,)) if cfg.use_sod else None,
         seed=cfg.seed,
         log_dir=cfg.log_dir,
+        mesh=mesh,
     )
     # reproduce the scripted policy init (random centers/weights seeded above)
     agent.policy_params = policy.init_params(
