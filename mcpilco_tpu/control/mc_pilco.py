@@ -283,7 +283,25 @@ class MCPilco:
             sel = sod_mod.select(self.gp, self.sor, self.gp_params, data.x, data.y, data.mask, k)
             if info is not None:
                 info["sor_points"] = np.asarray(jnp.sum(sel, axis=-1)).tolist()
-            return self.gp.sor_posterior(self.gp_params, data, sel)
+            u = None
+            refine = getattr(self.sor, "refine_epochs", 0)
+            if refine:
+                # SOR-MLL refinement of hyperparameters (+ inducing inputs)
+                # after the exact fit + greedy selection (the reference's
+                # train-then-select order, Model_learning.py:381-396, with
+                # the fixed fit_SOR_model as the refinement stage)
+                train_u = getattr(self.sor, "train_inducing", False)
+                self.gp_params, u_trained, sor_losses = self.gp.fit_sor(
+                    self.gp_params, data, sel, num_epochs=refine,
+                    learning_rate=getattr(self.sor, "refine_lr", 0.01),
+                    train_inducing=train_u,
+                )
+                if train_u:
+                    u = u_trained
+                if info is not None:
+                    info["sor_mll_first"] = float(sor_losses[0])
+                    info["sor_mll_last"] = float(sor_losses[-1])
+            return self.gp.sor_posterior(self.gp_params, data, sel, u=u)
         return self.gp.fit_posterior(self.gp_params, data)
 
     # ------------------------------------------------------------ diagnostics

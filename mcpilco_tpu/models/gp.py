@@ -37,6 +37,15 @@ from ..ops import linalg
 from .kernels import Kernel
 
 
+def posterior_log_likelihood(y, y_hat, var):
+    """Diagonal-Gaussian posterior negative log-likelihood: each sample
+    treated as independent Gaussian with predicted mean/variance
+    (gpr_lib/Likelihood/Gaussian_likelihood.py:27-37; constants dropped,
+    matching the reference).  Usable as an alternative GP training loss on
+    held-out predictions."""
+    return jnp.sum((y - y_hat) ** 2 / (2.0 * var) + 0.5 * jnp.log(var))
+
+
 class GPData(NamedTuple):
     """Padded training set shared across heads.
 
@@ -347,35 +356,166 @@ class MultiGP:
     # The sign trick makes `predict` dispatch-free: var = diag - quad with
     # quad = sum((k K_inv) o k); storing k_inv = -(Sigma) and a zero kernel
     # diag is NOT possible, so SOR gets its own small predict path instead.
+    #
+    # Inducing inputs can be (a) a masked subset of the training data
+    # (``u=None``, ``sel`` marks rows of data.x — the reference's
+    # set_inducing_inputs_from_data, :79-102) or (b) a free per-head array
+    # ``u`` [G, M, D] with validity mask ``sel`` [G, M], optionally TRAINED
+    # against the Nystrom MLL (the flg_train_inducing_inputs option, :68-77).
 
-    def _sor_posterior_head(self, kparams, log_sigma_n, x, y, mask, sel, norm):
-        """One head: x/y/mask = full padded data; sel = inducing mask [N]."""
+    def _sor_posterior_head(self, kparams, log_sigma_n, x, y, mask, u, u_mask, norm):
+        """One head: x/y/mask = full padded data; u/u_mask = inducing set."""
         noise = self._noise_var(log_sigma_n)
-        K_full = self.kernel.gram(kparams, x, x)
-        K_xu = K_full * sel[None, :] * mask[:, None]
+        K_uu = self.kernel.gram(kparams, u, u)
+        K_xu = self.kernel.gram(kparams, x, u) * (mask[:, None] * u_mask[None, :])
         hp = jax.lax.Precision.HIGHEST
-        sigma_inv = K_full * (sel[:, None] * sel[None, :]) + (1.0 / noise) * jnp.matmul(
+        sigma_inv = K_uu * (u_mask[:, None] * u_mask[None, :]) + (1.0 / noise) * jnp.matmul(
             K_xu.T, K_xu, precision=hp
         )
         # jitter must track sigma_inv's own scale (~ sigma_n^-2 N k^2), which
         # dwarfs K_uu's; the kernel matrix itself is usually near-singular
-        jit = linalg.adaptive_jitter(sigma_inv, sel, rel=self.jitter, floor=self.jitter)
-        sigma_inv = sigma_inv + jit * jnp.diag(sel)
-        L = linalg.masked_cholesky(sigma_inv, sel)
-        sigma = linalg.chol_inverse(L) * (sel[:, None] * sel[None, :])
+        jit = linalg.adaptive_jitter(sigma_inv, u_mask, rel=self.jitter, floor=self.jitter)
+        sigma_inv = sigma_inv + jit * jnp.diag(u_mask)
+        L = linalg.masked_cholesky(sigma_inv, u_mask)
+        sigma = linalg.chol_inverse(L) * (u_mask[:, None] * u_mask[None, :])
         resid = (y / norm - self.kernel.mean(kparams, x)) * mask
         alpha = (1.0 / noise) * jnp.matmul(sigma, jnp.matmul(K_xu.T, resid, precision=hp), precision=hp)
-        return alpha * sel, sigma
+        return alpha * u_mask, sigma
 
-    def sor_posterior(self, params: GPParams, data: GPData, sel: jax.Array) -> Posterior:
-        """Build the SOR posterior; ``sel`` [G, N] marks inducing points."""
+    def sor_posterior(
+        self, params: GPParams, data: GPData, sel: jax.Array, u: Optional[jax.Array] = None
+    ) -> Posterior:
+        """Build the SOR posterior.  ``sel`` [G, M] marks valid inducing
+        rows; ``u`` [G, M, D] overrides the inducing inputs (default: rows
+        of ``data.x``, M = N)."""
         norm = self.output_norms(data)
+        u_axis = 0 if u is not None else None
+        u_arr = u if u is not None else data.x
         alpha, sigma = jax.vmap(
-            lambda kp, lsn, yy, ss, nm: self._sor_posterior_head(
-                kp, lsn, data.x, yy, data.mask, ss, nm
+            lambda kp, lsn, yy, uu, ss, nm: self._sor_posterior_head(
+                kp, lsn, data.x, yy, data.mask, uu, ss, nm
+            ),
+            in_axes=(0, 0, 0, u_axis, 0, 0),
+        )(params.kernel, params.log_sigma_n, data.y, u_arr, sel, norm)
+        return Posterior(
+            x_tr=u if u is not None else data.x, mask=sel, alpha=alpha, k_inv=sigma, norm=norm
+        )
+
+    def _sor_mll_head(self, kparams, log_sigma_n, x, y, mask, u, u_mask, norm):
+        """Negative Nystrom marginal log-likelihood of one head:
+        K_sor = K_XU K_UU^-1 K_UX + s2 I, evaluated in whitened form without
+        ever forming the N x N matrix (the corrected ``SOR_forward``,
+        Sparse_GP.py:196-232 — the reference's version crashes on an
+        undefined ``U_Sigma`` at :226, and its -log|K_UU| + log|Sigma^-1|
+        difference of two huge logdets is numerically fragile anyway).
+
+        With B = L_UU^-1 K_UX (K_UU = L L^T) and A = I + B B^T / s2:
+
+            log|K_sor|     = N log s2 + log|A|          (Sylvester)
+            y^T K_sor^-1 y = |y|^2/s2 - (By)^T A^-1 (By) / s2^2   (Woodbury)
+
+        A has unit diagonal on masked rows and condition ~ 1 + |B|^2/s2, so
+        a single well-posed Cholesky replaces two ill-posed ones.
+        """
+        noise = self._noise_var(log_sigma_n)
+        hp = jax.lax.Precision.HIGHEST
+        m = u.shape[0]
+        K_uu = self.kernel.gram(kparams, u, u)
+        jit = linalg.adaptive_jitter(K_uu, u_mask, rel=self.jitter, floor=self.jitter)
+        K_uu = K_uu + jit * jnp.eye(m, dtype=u.dtype)
+        L_uu = linalg.masked_cholesky(K_uu, u_mask)
+
+        K_xu = self.kernel.gram(kparams, x, u) * (mask[:, None] * u_mask[None, :])
+        B = jax.scipy.linalg.solve_triangular(L_uu, K_xu.T, lower=True)  # [M, N]
+        A = jnp.eye(m, dtype=u.dtype) + jnp.matmul(B, B.T, precision=hp) / noise
+        L_a = jnp.linalg.cholesky(A)
+        logdet_a = linalg.masked_logdet_from_chol(L_a, u_mask)
+
+        resid = (y / norm - self.kernel.mean(kparams, x)) * mask
+        b = jnp.matmul(B, resid, precision=hp)
+        w = linalg.chol_solve(L_a, b[:, None])[:, 0]
+        quad = jnp.dot(resid, resid) / noise - jnp.dot(b, w) / (noise * noise)
+        n_valid = jnp.sum(mask)
+        logdet = n_valid * jnp.log(noise) + logdet_a
+        return 0.5 * (quad + logdet)
+
+    def sor_mll(
+        self,
+        params: GPParams,
+        data: GPData,
+        sel: jax.Array,
+        u: Optional[jax.Array] = None,
+        norm: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Sum over heads of the negative SOR (Nystrom) MLL.  Converges to
+        :meth:`mll` when the inducing set is the full dataset (sel = mask)."""
+        if norm is None:
+            norm = self.output_norms(data)
+        u_axis = 0 if u is not None else None
+        u_arr = u if u is not None else data.x
+        losses = jax.vmap(
+            lambda kp, lsn, yy, uu, ss, nm: self._sor_mll_head(
+                kp, lsn, data.x, yy, data.mask, uu, ss, nm
+            ),
+            in_axes=(0, 0, 0, u_axis, 0, 0),
+        )(params.kernel, params.log_sigma_n, data.y, u_arr, sel, norm)
+        return jnp.sum(losses)
+
+    def fit_sor(
+        self,
+        params: GPParams,
+        data: GPData,
+        sel: jax.Array,
+        num_epochs: int,
+        learning_rate: float = 0.01,
+        train_inducing: bool = False,
+        u: Optional[jax.Array] = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+    ):
+        """Train hyperparameters (and optionally the inducing inputs) against
+        the SOR MLL — the fixed ``fit_SOR_model`` path
+        (Sparse_GP.py:234-289, inducing-input training :68-77).
+
+        Returns (params, u [G, M, D], loss_history).  ``u`` defaults to the
+        training inputs; rows with ``sel = 0`` never enter the loss, so their
+        gradients vanish and only selected inducing points move.
+        """
+        norm = self.output_norms(data)
+        if u is None:
+            u = jnp.broadcast_to(data.x, (self.num_heads,) + data.x.shape) + 0.0
+        opt = optimizer or optax.adam(learning_rate)
+        mask_tree = self.param_mask(params)
+        label = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask_tree,
+            is_leaf=lambda v: isinstance(v, bool),
+        )
+        labels = (label, "train" if train_inducing else "freeze")
+        tx = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, param_labels=labels
+        )
+        state0 = tx.init((params, u))
+
+        def loss_fn(pu):
+            p, uu = pu
+            return self.sor_mll(p, data, sel, u=uu, norm=norm)
+
+        def step(carry, _):
+            pu, s, last_loss = carry
+            loss, g = jax.value_and_grad(loss_fn)(pu)
+            finite = jnp.isfinite(loss)
+            updates, s_new = tx.update(g, s, pu)
+            pu_new = optax.apply_updates(pu, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
             )
-        )(params.kernel, params.log_sigma_n, data.y, sel, norm)
-        return Posterior(x_tr=data.x, mask=sel, alpha=alpha, k_inv=sigma, norm=norm)
+            logged = jnp.where(finite, loss, last_loss)
+            return (keep(pu_new, pu), keep(s_new, s), logged), logged
+
+        ((params, u), _, _), losses = jax.lax.scan(
+            step, ((params, u), state0, jnp.asarray(jnp.inf, data.x.dtype)),
+            None, length=num_epochs,
+        )
+        return params, u, losses
 
     def _sor_predict_head(self, kparams, u, sel, alpha, sigma, norm, x_star):
         hp = jax.lax.Precision.HIGHEST

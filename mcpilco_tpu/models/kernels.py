@@ -472,6 +472,29 @@ class Scaled(Kernel):
         return self._a(params, X) * self.base.mean(params["base"], X)
 
 
+# ------------------------------------------------------------------
+# Concrete scaling functions for :class:`Scaled`
+# (gpr_lib/Utils/Scaling_functions.py:21-43).  Signature matches the
+# Scaled.f_scale contract: (pos_par, free_par, X_active) -> [N].
+
+
+def scale_sign(pos_par, free_par, X_active, positive: bool = True):
+    """Indicator scaling: 1 where EVERY active dim is > offset (free_par,
+    default 0), else 0; ``positive=False`` flips the comparison
+    (``f_get_sign``, Scaling_functions.py:21-33)."""
+    offset = free_par if free_par is not None else 0.0
+    cmp = (X_active > offset) if positive else (X_active < offset)
+    return jnp.prod(cmp.astype(X_active.dtype), axis=-1)
+
+
+def scale_sign_abs(pos_par, free_par, X_active, positive: bool = True):
+    """Indicator scaling on magnitudes: 1 where every |active dim| is above
+    (below) the positive threshold ``pos_par``
+    (``f_get_sign_abs``, Scaling_functions.py:36-43)."""
+    cmp = (jnp.abs(X_active) > pos_par) if positive else (jnp.abs(X_active) < pos_par)
+    return jnp.prod(cmp.astype(X_active.dtype), axis=-1)
+
+
 def volterra_mpk(
     active_dims,
     degree: int,

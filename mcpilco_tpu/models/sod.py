@@ -52,6 +52,19 @@ class SODConfig:
         return t * jnp.ones(gp.num_heads, jnp.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class SORConfig(SODConfig):
+    """SOD selection options plus the SOR refinement stage: after the exact
+    MLL fit and greedy inducing selection, optionally re-train the
+    hyperparameters (and the inducing inputs themselves) against the Nystrom
+    SOR MLL — the reference's ``fit_SOR_model`` path with its math fixed
+    (gpr_lib/GP_prior/Sparse_GP.py:196-289; trainable inducing :68-77)."""
+
+    refine_epochs: int = 0
+    refine_lr: float = 0.01
+    train_inducing: bool = False
+
+
 def _select_head(gp: MultiGP, kparams, log_sigma_n, x, y, valid_mask, threshold, order):
     """Greedy SOD for one head. Returns the selection mask [N]."""
     n = x.shape[0]

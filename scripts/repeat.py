@@ -34,6 +34,37 @@ def run_seed(scenario, seed, extra, platform):
     return seed, success, r.returncode, r.stdout[-500:]
 
 
+def run_seed_inprocess(scenario, seed, extra, platform):
+    """Run one seed by calling the train script's main() in THIS process.
+
+    Sequential seeds then share the in-memory jit cache: the scenario's
+    compiled programs key on value-hashed frozen-dataclass configs, so every
+    seed after the first skips tracing AND compilation entirely (~3 min/seed
+    on the big cartpole programs).  Use for long TPU seed sweeps."""
+    import contextlib
+    import importlib
+    import io
+
+    if HERE not in sys.path:
+        sys.path.insert(0, HERE)
+    mod = importlib.import_module(SCRIPTS[scenario][:-3])
+    argv = [SCRIPTS[scenario], "--seed", str(seed),
+            "--log-dir", f"results_tmp/{scenario}_{seed}"] + extra
+    if platform:
+        argv += ["--platform", platform]
+    old_argv, sys.argv = sys.argv, argv
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            rc = mod.main()
+    except SystemExit as e:  # argparse or explicit exit
+        rc = int(e.code or 0)
+    finally:
+        sys.argv = old_argv
+    out = buf.getvalue()
+    return seed, "success: True" in out, rc, out[-500:]
+
+
 def main():
     p = argparse.ArgumentParser("repeat over seeds")
     p.add_argument("--scenario", default="cartpole", choices=sorted(SCRIPTS))
@@ -42,6 +73,8 @@ def main():
     p.add_argument("--jobs", type=int, default=1)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--in-process", action="store_true",
+                   help="run seeds sequentially in one process (shared jit cache)")
     args = p.parse_args()
 
     extra = ["--smoke"] if args.smoke else []
@@ -55,10 +88,11 @@ def main():
                 results[seed] = ok
                 print(f"[repeat] seed {seed}: success={ok} rc={rc}")
     else:
+        runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
-            seed, ok, rc, tail = run_seed(args.scenario, s, extra, args.platform)
+            seed, ok, rc, tail = runner(args.scenario, s, extra, args.platform)
             results[seed] = ok
-            print(f"[repeat] seed {seed}: success={ok} rc={rc}")
+            print(f"[repeat] seed {seed}: success={ok} rc={rc}", flush=True)
 
     rate = sum(results.values()) / max(len(results), 1)
     summary = {"scenario": args.scenario, "seeds": sorted(results), "success_rate": rate,

@@ -133,6 +133,22 @@ class TestPosteriorPredict:
         mean, var = jax.jit(lambda s: gp.predict(params, post, s))(xs)
         assert mean.shape == (2, 400) and var.shape == (2, 400)
 
+    def test_posterior_log_likelihood(self):
+        """Diagonal-Gaussian posterior NLL (Gaussian_likelihood.py:27-37):
+        matches the hand-computed value and is minimized at y_hat = y."""
+        from mcpilco_tpu.models.gp import posterior_log_likelihood
+
+        y = jnp.array([1.0, 2.0, -1.0])
+        y_hat = jnp.array([0.5, 2.0, -2.0])
+        var = jnp.array([0.25, 1.0, 4.0])
+        expected = np.sum((np.asarray(y - y_hat)) ** 2 / (2 * np.asarray(var))) + 0.5 * np.sum(
+            np.log(np.asarray(var))
+        )
+        np.testing.assert_allclose(float(posterior_log_likelihood(y, y_hat, var)), expected, rtol=1e-6)
+        assert float(posterior_log_likelihood(y, y, var)) < float(
+            posterior_log_likelihood(y, y_hat, var)
+        )
+
     def test_grad_flows_through_predict(self):
         """d(prediction)/d(x_star) must exist — BPTT through rollouts needs it."""
         gp = MultiGP(kernel=K.SEArd(active_dims=(0, 1, 2)), num_heads=2)

@@ -171,6 +171,41 @@ class TestCombinators:
         np.testing.assert_allclose(g, 4.0 * np.outer([1, -1], [1, -1]) * gb, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(sk.diag(p, X)), 4.0 * np.diag(gb), rtol=1e-5)
 
+    def test_scale_sign_functions(self):
+        """The concrete indicator scalings (Scaling_functions.py:21-43)."""
+        X = jnp.array([[1.0, 2.0], [-1.0, 2.0], [0.5, -0.1]])
+        np.testing.assert_allclose(
+            np.asarray(K.scale_sign(None, None, X)), [1.0, 0.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(K.scale_sign(None, None, X, positive=False)), [0.0, 0.0, 0.0]
+        )
+        # offset via free_par shifts the comparison point
+        np.testing.assert_allclose(
+            np.asarray(K.scale_sign(None, jnp.array([-2.0, -2.0]), X)), [1.0, 1.0, 1.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(K.scale_sign_abs(jnp.array([0.4, 0.4]), None, X)), [1.0, 1.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(K.scale_sign_abs(jnp.array([3.0, 3.0]), None, X, positive=False)),
+            [1.0, 1.0, 1.0],
+        )
+
+    def test_scale_sign_in_scaled_kernel(self):
+        """scale_sign plugged into Scaled zeroes covariance across the sign
+        boundary — the Scale_GP_prior use case (GP_prior.py:404-515)."""
+        from functools import partial
+
+        base = K.SEArd(active_dims=(0,))
+        sk = K.Scaled(base=base, f_scale=K.scale_sign, active_dims_scale=(0,))
+        p = sk.init_params()
+        X = jnp.array([[1.0], [0.5], [-1.0]])
+        g = np.asarray(sk.gram(p, X, X))
+        assert g[0, 1] > 0  # both positive: base covariance survives
+        np.testing.assert_allclose(g[:, 2], 0.0)  # negative point decouples
+        np.testing.assert_allclose(g[2, :], 0.0)
+
 
 class TestJittability:
     def test_jit_and_vmap_over_heads(self):
