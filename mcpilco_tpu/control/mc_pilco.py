@@ -136,6 +136,11 @@ class MCPilco:
         self.log_dir = log_dir
         self.bucket = bucket
         self.fixed_initial_state = fixed_initial_state
+        # provenance for replay tooling: scenario builders stamp these so
+        # checkpoints are self-describing (the config_log.pkl analog,
+        # test_mcpilco_cartpole.py:233-237)
+        self.scenario_name: Optional[str] = None
+        self.scenario_config = None
 
         self.key = prng.root_key(seed)
         self.policy_params = policy.init_params(
@@ -170,7 +175,23 @@ class MCPilco:
 
     def add_external_trial(self, measured: np.ndarray, inputs: np.ndarray) -> None:
         """Hardware-in-the-loop data entry (MC_PILCO_Experiment analog,
-        MC_PILCO.py:1016-1068): feed measured states + applied inputs."""
+        MC_PILCO.py:1016-1068): feed measured states + applied inputs.
+
+        Shapes are validated like the reference's CSV ingestion
+        (MC_PILCO.py:1055-1058): measured [T, state_dim], inputs [T, input_dim]
+        (a flat input vector is reshaped for input_dim = 1).
+        """
+        measured = np.asarray(measured, np.float32)
+        inputs = np.asarray(inputs, np.float32).reshape(-1, self.model.input_dim)
+        if measured.ndim != 2 or measured.shape[1] != self.model.state_dim:
+            raise ValueError(
+                f"measured states must be [T, {self.model.state_dim}], got {measured.shape}"
+            )
+        if inputs.shape[0] != measured.shape[0]:
+            raise ValueError(
+                f"inputs have {inputs.shape[0]} rows but measured states have "
+                f"{measured.shape[0]} — one input per measured sample required"
+            )
         if self.offline_filtering:
             pos = self.model.pos_indices
             vel = self.model.vel_indices
@@ -180,6 +201,53 @@ class MCPilco:
         else:
             states = measured
         self._ingest(TrialData(measured=states, inputs=inputs, true=states, noisy=measured))
+
+    # ------------------------------------------------------- HIL file protocol
+    # The reference's hardware-in-the-loop variant prompts an operator to drop
+    # CSVs into log_path/DATA_<trial>/ and exports the policy parameters as
+    # CSVs for the robot-side controller (MC_PILCO.py:1016-1068).  Here both
+    # directions are non-interactive library calls with the same file layout.
+
+    def export_policy_csv(self, out_dir: Optional[str] = None) -> List[str]:
+        """Write every policy-parameter leaf as ``policy_<name>.csv``
+        (MC_PILCO.py:1024-1026).  Returns the written paths."""
+        out_dir = out_dir or self.log_dir
+        if out_dir is None:
+            raise ValueError("export_policy_csv needs an out_dir or a log_dir")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.policy_params)[0]:
+            name = "_".join(
+                str(getattr(p, "key", None) or getattr(p, "name", None) or getattr(p, "idx", ""))
+                for p in path
+            )
+            fp = os.path.join(out_dir, f"policy_{name}.csv")
+            np.savetxt(fp, np.atleast_2d(np.asarray(leaf)), delimiter=",")
+            paths.append(fp)
+        return paths
+
+    def load_external_trial(
+        self, trial_index: Optional[int] = None, data_dir: Optional[str] = None
+    ) -> TrialData:
+        """Ingest one hardware trial from ``<log_dir>/DATA_<trial>/
+        {noisy_samples.csv, input_samples.csv}`` — the reference's operator
+        protocol (MC_PILCO.py:1032-1054) minus the interactive prompt.
+        Shape validation + offline filtering happen in
+        :meth:`add_external_trial`."""
+        if data_dir is None:
+            if self.log_dir is None:
+                raise ValueError("load_external_trial needs a data_dir or a log_dir")
+            idx = self.num_collections if trial_index is None else trial_index
+            data_dir = os.path.join(self.log_dir, f"DATA_{idx}")
+        noisy_fp = os.path.join(data_dir, "noisy_samples.csv")
+        input_fp = os.path.join(data_dir, "input_samples.csv")
+        for fp in (noisy_fp, input_fp):
+            if not os.path.exists(fp):
+                raise FileNotFoundError(f"expected hardware data file {fp}")
+        noisy = np.genfromtxt(noisy_fp, delimiter=",")
+        inputs = np.genfromtxt(input_fp, delimiter=",")
+        self.add_external_trial(noisy, inputs)
+        return self.trials[-1]
 
     def _padded_data(self) -> GPData:
         n = self.gp_x.shape[0]
@@ -447,6 +515,14 @@ class MCPilco:
             "num_collections": self.num_collections,
             "dt": self.dt,
             "stage": stage,
+            "scenario": (
+                {
+                    "name": self.scenario_name,
+                    "config": dataclasses.asdict(self.scenario_config),
+                }
+                if self.scenario_config is not None
+                else None
+            ),
             "trial_measured": [t.measured.tolist() for t in self.trials],
             "trial_inputs": [t.inputs.tolist() for t in self.trials],
             "trial_true": [t.true.tolist() for t in self.trials],

@@ -198,6 +198,8 @@ def build(cfg: CartpoleConfig, mesh=None) -> tuple:
             for s, lr, p in zip(cfg.opt_steps, cfg.learning_rates, cfg.p_dropout)
         ],
     )
+    agent.scenario_name = "cartpole"
+    agent.scenario_config = cfg
     return agent, reinforce_kwargs
 
 

@@ -119,6 +119,8 @@ def build(cfg: CartpoleMujocoConfig):
             for s in cfg.opt_steps
         ],
     )
+    agent.scenario_name = "cartpole_mujoco"
+    agent.scenario_config = cfg
     return agent, reinforce_kwargs
 
 

@@ -137,6 +137,8 @@ def build(cfg: CartpolePMSConfig):
             for s, lr, p in zip(cfg.opt_steps, cfg.learning_rates, cfg.p_dropout)
         ],
     )
+    agent.scenario_name = "cartpole_pms"
+    agent.scenario_config = cfg
     return agent, reinforce_kwargs
 
 

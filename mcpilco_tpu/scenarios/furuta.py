@@ -117,4 +117,6 @@ def build(cfg: FurutaConfig):
             for s in cfg.opt_steps
         ],
     )
+    agent.scenario_name = "furuta"
+    agent.scenario_config = cfg
     return agent, reinforce_kwargs

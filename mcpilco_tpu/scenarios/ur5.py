@@ -152,6 +152,8 @@ def build(cfg: UR5Config):
             for s in cfg.opt_steps
         ],
     )
+    agent.scenario_name = "ur5"
+    agent.scenario_config = cfg
     return agent, reinforce_kwargs
 
 

@@ -10,33 +10,62 @@ the cost statistics.
 """
 
 import argparse
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_agent(scenario, seed):
-    import dataclasses
+def _stored_scenario(checkpoint):
+    """Checkpoints are self-describing: the training run stamps its scenario
+    name + config into the manifest (the config_log.pkl analog)."""
+    try:
+        with open(os.path.join(checkpoint, "manifest.json")) as f:
+            return json.load(f)["meta"].get("scenario")
+    except (FileNotFoundError, KeyError, json.JSONDecodeError):
+        return None
+
+
+def _tuplify(v):
+    return tuple(_tuplify(x) for x in v) if isinstance(v, list) else v
+
+
+def build_agent(scenario, seed, checkpoint=None):
+    stored = _stored_scenario(checkpoint) if checkpoint else None
+    if stored and stored.get("name"):
+        scenario = stored["name"]
 
     if scenario == "cartpole":
         from mcpilco_tpu.scenarios import cartpole as scen
 
-        cfg = scen.CartpoleConfig(seed=seed)
+        cfg_cls = scen.CartpoleConfig
     elif scenario == "cartpole_pms":
         from mcpilco_tpu.scenarios import cartpole_pms as scen
 
-        cfg = scen.CartpolePMSConfig(seed=seed)
+        cfg_cls = scen.CartpolePMSConfig
     elif scenario == "cartpole_mujoco":
         from mcpilco_tpu.scenarios import cartpole_mujoco as scen
 
-        cfg = scen.CartpoleMujocoConfig(seed=seed)
+        cfg_cls = scen.CartpoleMujocoConfig
     elif scenario == "ur5":
         from mcpilco_tpu.scenarios import ur5 as scen
 
-        cfg = scen.UR5Config(seed=seed)
+        cfg_cls = scen.UR5Config
+    elif scenario == "furuta":
+        from mcpilco_tpu.scenarios import furuta as scen
+
+        cfg_cls = scen.FurutaConfig
     else:
         raise SystemExit(f"unknown scenario {scenario}")
+
+    if stored:
+        kw = {k: _tuplify(v) for k, v in stored["config"].items()}
+        kw["log_dir"] = None  # never write into the training run's log dir
+        cfg = cfg_cls(**kw)
+        print(f"[apply_policy] rebuilt '{scenario}' from checkpoint config")
+    else:
+        cfg = cfg_cls(seed=seed)
     agent, _ = scen.build(cfg)
     return agent, cfg
 
@@ -62,7 +91,7 @@ def main():
 
     from mcpilco_tpu.utils import prng
 
-    agent, cfg = build_agent(args.scenario, args.seed)
+    agent, cfg = build_agent(args.scenario, args.seed, checkpoint=args.checkpoint)
     agent.load_checkpoint(args.checkpoint)
     print(f"loaded {args.checkpoint}: {agent.num_collections} collections")
 

@@ -1,0 +1,97 @@
+"""Smoke tests of the script tier (scripts/*.py): --help, import, and a
+tiny end-to-end run whose artifacts feed the replay and plotting scripts.
+
+The reference ships its scripts with zero automated coverage (SURVEY §4);
+a syntax error or stale import in ours must fail CI instead.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(HERE, "scripts")
+
+ALL_SCRIPTS = [
+    "train_cartpole.py",
+    "train_cartpole_pms.py",
+    "train_cartpole_mujoco.py",
+    "train_furuta.py",
+    "train_ur5.py",
+    "apply_policy.py",
+    "plot_logs.py",
+    "repeat.py",
+]
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-u"] + args, capture_output=True, text=True,
+        timeout=timeout, cwd=HERE, env=env,
+    )
+
+
+class TestHelp:
+    @pytest.mark.parametrize("script", ALL_SCRIPTS)
+    def test_help_exits_zero(self, script):
+        r = _run([os.path.join(SCRIPTS, script), "--help"], timeout=120)
+        assert r.returncode == 0, r.stderr[-800:]
+        assert "usage" in r.stdout.lower()
+
+
+class TestEndToEndArtifacts:
+    @pytest.fixture(scope="class")
+    def smoke_log_dir(self, tmp_path_factory):
+        """One tiny CPU training run shared by the replay/plot tests."""
+        log_dir = str(tmp_path_factory.mktemp("script_smoke") / "run1")
+        r = _run(
+            [os.path.join(SCRIPTS, "train_cartpole.py"), "--seed", "1", "--smoke",
+             "--platform", "cpu", "--log-dir", log_dir]
+        )
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-800:])
+        assert "total wall-clock" in r.stdout
+        return log_dir
+
+    def test_train_writes_checkpoints(self, smoke_log_dir):
+        stages = os.listdir(smoke_log_dir)
+        assert any(s.startswith("policy_trial") for s in stages), stages
+
+    def test_apply_policy_on_model(self, smoke_log_dir):
+        ckpt = os.path.join(smoke_log_dir, "complete_trial0")
+        if not os.path.isdir(ckpt):
+            ckpt = os.path.join(smoke_log_dir, "policy_trial0")
+        r = _run(
+            [os.path.join(SCRIPTS, "apply_policy.py"), ckpt, "--scenario", "cartpole",
+             "--target", "model", "--repeats", "3", "--T", "1.0", "--platform", "cpu"]
+        )
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-800:])
+        assert "cost" in r.stdout.lower()
+
+    def test_apply_policy_on_system(self, smoke_log_dir):
+        ckpt = os.path.join(smoke_log_dir, "complete_trial0")
+        if not os.path.isdir(ckpt):
+            ckpt = os.path.join(smoke_log_dir, "policy_trial0")
+        r = _run(
+            [os.path.join(SCRIPTS, "apply_policy.py"), ckpt, "--scenario", "cartpole",
+             "--target", "system", "--repeats", "2", "--T", "1.0", "--platform", "cpu"]
+        )
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-800:])
+
+    def test_plot_logs(self, smoke_log_dir):
+        r = _run([os.path.join(SCRIPTS, "plot_logs.py"), smoke_log_dir], timeout=300)
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-800:])
+        pngs = [f for f in os.listdir(smoke_log_dir) if f.endswith(".png")]
+        assert pngs, "plot_logs wrote no figures"
+
+    def test_repeat_smoke_inprocess(self, tmp_path):
+        r = _run(
+            [os.path.join(SCRIPTS, "repeat.py"), "--scenario", "cartpole",
+             "--num-seeds", "1", "--smoke", "--in-process", "--platform", "cpu"]
+        )
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-800:])
+        assert "success_rate" in r.stdout
