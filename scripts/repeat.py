@@ -24,6 +24,17 @@ SCRIPTS = {
 }
 
 
+def _parse_cost(out: str):
+    """Final-trial cumulative cost, if the script printed one."""
+    for line in out.splitlines():
+        if "cumulative cost:" in line:
+            try:
+                return float(line.rsplit(":", 1)[1])
+            except ValueError:
+                pass
+    return None
+
+
 def run_seed(scenario, seed, extra, platform):
     cmd = [sys.executable, "-u", os.path.join(HERE, SCRIPTS[scenario]), "--seed", str(seed),
            "--log-dir", f"results_tmp/{scenario}_{seed}"] + extra
@@ -80,23 +91,37 @@ def main():
     extra = ["--smoke"] if args.smoke else []
     seeds = range(args.first_seed, args.first_seed + args.num_seeds)
     results = {}
+    costs = {}
     if args.jobs > 1:
         with cf.ThreadPoolExecutor(args.jobs) as ex:
             futs = [ex.submit(run_seed, args.scenario, s, extra, args.platform) for s in seeds]
             for f in cf.as_completed(futs):
                 seed, ok, rc, tail = f.result()
                 results[seed] = ok
-                print(f"[repeat] seed {seed}: success={ok} rc={rc}")
+                costs[seed] = _parse_cost(tail)
+                print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}")
     else:
         runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
             seed, ok, rc, tail = runner(args.scenario, s, extra, args.platform)
             results[seed] = ok
-            print(f"[repeat] seed {seed}: success={ok} rc={rc}", flush=True)
+            costs[seed] = _parse_cost(tail)
+            print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}", flush=True)
 
     rate = sum(results.values()) / max(len(results), 1)
+    known_costs = sorted(c for c in costs.values() if c is not None)
+    quartiles = None
+    if known_costs:
+        def q(p):
+            i = p * (len(known_costs) - 1)
+            lo, hi = int(i), min(int(i) + 1, len(known_costs) - 1)
+            return round(known_costs[lo] + (i - lo) * (known_costs[hi] - known_costs[lo]), 4)
+        quartiles = {"q25": q(0.25), "median": q(0.5), "q75": q(0.75),
+                     "min": known_costs[0], "max": known_costs[-1]}
     summary = {"scenario": args.scenario, "seeds": sorted(results), "success_rate": rate,
-               "per_seed": {str(k): bool(v) for k, v in sorted(results.items())}}
+               "final_trial_cost_quartiles": quartiles,
+               "per_seed": {str(k): bool(v) for k, v in sorted(results.items())},
+               "per_seed_cost": {str(k): costs[k] for k in sorted(costs)}}
     print(json.dumps(summary, indent=1))
     out = f"results_tmp/repeat_{args.scenario}.json"
     os.makedirs("results_tmp", exist_ok=True)
