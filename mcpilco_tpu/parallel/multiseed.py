@@ -1,0 +1,335 @@
+"""Vmapped multi-seed MC-PILCO training: the seed-ablation farm.
+
+The reference validates statistically by re-running a scenario for seeds
+1..50 sequentially in separate processes (repeat_test.py:15-23).  Because
+every stage of this framework is a pure function of a PRNG key — on-device
+plant rollout, GP MLL fit, SOD selection, posterior build, and the compiled
+policy-opt while_loop — a whole *batch of independent seeds* can train as one
+``vmap``-ed program per phase (SURVEY §2.6 row 3, "vmapped or pod-sliced
+multi-seed training"):
+
+- **collect**: one device call rolls every seed's plant trial,
+- **fit**: one call trains all seeds' GP heads (batched Cholesky over
+  ``S x G`` problems) and builds all posteriors (+ per-seed SOD selection),
+- **optimize**: the production policy-opt while_loop (convergence monitor,
+  NaN guard, chunking) runs vmapped over seeds; the host chunk loop exits
+  when *all* seeds' monitors have converged,
+- optionally the seed axis is sharded over a device mesh (the pod-sliced
+  seed farm — each chip trains its own seeds, no cross-chip traffic).
+
+PRNG-stream parity with the sequential path (control.mc_pilco.MCPilco) is
+exact: the same (root-seed, stream, trial) folds drive x0 sampling, plant
+noise, SOD permutation and rollout noise, so a farmed seed sees the same
+randomness as `scripts/repeat.py` gives it, modulo batched-kernel float
+reassociation.
+
+Scope: plants must be on-device (ODEPlant / PMSODEPlant) and offline
+filtering is not supported (it is host-side scipy filtfilt); use the
+sequential driver for MuJoCo / hardware scenarios.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
+from ..envs.plants import ODEPlant
+from ..models import sod as sod_mod
+from ..models.gp import GPData
+from ..ops import linalg
+from ..utils import prng
+from . import mesh as mesh_mod
+
+
+class FarmTrialLog(NamedTuple):
+    """Batched per-trial training record (leading axis = seeds)."""
+
+    cost_history: np.ndarray  # [S, max_opt_steps]
+    steps_done: np.ndarray  # [S]
+    reinit_count: np.ndarray  # [S]
+    mll_last: np.ndarray  # [S]
+    control_true: np.ndarray  # [S, N+1, ds] executed control trial
+    control_inputs: np.ndarray  # [S, N+1, du]
+    wall_clock_s: float
+
+
+class FarmResult(NamedTuple):
+    seeds: np.ndarray  # [S]
+    trial_logs: List[FarmTrialLog]
+    policy_params: object  # batched pytree, leading axis S
+
+    @property
+    def final_true(self) -> np.ndarray:
+        return self.trial_logs[-1].control_true
+
+    @property
+    def final_inputs(self) -> np.ndarray:
+        return self.trial_logs[-1].control_inputs
+
+
+@dataclasses.dataclass
+class SeedFarm:
+    """Batched multi-seed trainer sharing an MCPilco agent's configuration.
+
+    ``policy_init_fn(key) -> params`` must be a pure-JAX per-seed policy
+    initializer (scenario builders that seed custom centers/weights should
+    expose one — e.g. scenarios.cartpole.policy_init)."""
+
+    agent: MCPilco
+    seeds: Sequence[int]
+    mesh: Optional[object] = None
+    policy_init_fn: Optional[Callable] = None
+
+    def __post_init__(self):
+        a = self.agent
+        if not isinstance(a.plant, ODEPlant):
+            raise ValueError("SeedFarm needs an on-device (ODE) plant")
+        if a.offline_filtering:
+            raise ValueError("offline filtering is host-side; use scripts/repeat.py")
+        if a.sor is not None:
+            raise ValueError("SOR farm path not implemented; use scripts/repeat.py")
+        if a.optimizer.mesh is not None:
+            raise ValueError(
+                "particle-axis sharding and the seed farm are mutually "
+                "exclusive (the farm shards the seed axis)"
+            )
+        if self.mesh is not None and len(self.seeds) % self.mesh.devices.size:
+            raise ValueError(
+                f"{len(self.seeds)} seeds do not tile the "
+                f"{self.mesh.devices.size}-device mesh"
+            )
+        self.keys = jax.vmap(prng.root_key)(jnp.asarray(list(self.seeds), jnp.uint32))
+        init = self.policy_init_fn or (
+            lambda k: self.agent.policy.init_params(
+                prng.fold(prng.stream(k, prng.STREAM_POLICY_INIT), 0)
+            )
+        )
+        self.policy_params = jax.vmap(init)(self.keys)
+        self.expl_params = jax.vmap(
+            lambda k: self.agent.exploration_policy.init_params(
+                prng.fold(prng.stream(k, prng.STREAM_EXPLORATION), 0)
+            )
+        )(self.keys)
+        self.gp_params = None
+        self.posterior = None
+        self.num_collections = 0
+        self._filled = 0  # valid pairs in the data buffers
+        self.buf_x = None  # [S, cap, D]
+        self.buf_y = None  # [S, G, cap]
+
+    # ---------------------------------------------------------- seed sharding
+
+    def _shard(self, tree):
+        """Constrain the leading (seed) axis onto the mesh, if any."""
+        if self.mesh is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: mesh_mod.shard_particles(self.mesh, x), tree
+        )
+
+    # ---------------------------------------------------------- data
+
+    def _grow(self, n_new: int):
+        a = self.agent
+        s = len(self.seeds)
+        need = self._filled + n_new
+        cap = linalg.bucket_size(need, a.bucket, a.bucket)
+        if self.buf_x is None or cap > self.buf_x.shape[1]:
+            bx = jnp.zeros((s, cap, a.model.gp_input_dim), jnp.float32)
+            by = jnp.zeros((s, a.gp.num_heads, cap), jnp.float32)
+            if self.buf_x is not None:
+                bx = bx.at[:, : self.buf_x.shape[1]].set(self.buf_x)
+                by = by.at[:, :, : self.buf_y.shape[2]].set(self.buf_y)
+            self.buf_x, self.buf_y = bx, by
+
+    def collect(self, T: float, trial_index: int, exploration: bool) -> tuple:
+        """One plant trial per seed, in one device call
+        (MCPilco.collect semantics, batched)."""
+        a = self.agent
+        num_steps = int(round(T / a.dt))
+        pol = a.exploration_policy if exploration else a.policy
+        params_b = self.expl_params if exploration else self.policy_params
+        fixed = a.fixed_initial_state
+        mean = np.asarray(a.init_dist.mean, np.float32)
+
+        def one(key, params):
+            if fixed:
+                x0 = jnp.asarray(mean[0] if mean.ndim == 2 else mean)
+            else:
+                x0 = a.init_dist.sample_single(
+                    prng.fold(prng.stream(key, prng.STREAM_SYSTEM), trial_index, 0xA)
+                )
+            k = prng.fold(prng.stream(key, prng.STREAM_SYSTEM), trial_index)
+            run = a.plant._device_rollout(pol, params)
+            out = run(k, x0, 0.0, num_steps, a.dt)
+            measured, inputs, states = out[0], out[1], out[2]
+            x, y = a.model.training_pairs(measured, inputs)
+            return x, y, states, inputs
+
+        x, y, true_states, inputs = jax.jit(jax.vmap(one))(
+            self._shard(self.keys), self._shard(params_b)
+        )
+        n = x.shape[1]
+        self._grow(n)
+        self.buf_x = self.buf_x.at[:, self._filled : self._filled + n].set(x)
+        self.buf_y = self.buf_y.at[:, :, self._filled : self._filled + n].set(y)
+        self._filled += n
+        self.num_collections += 1
+        return np.asarray(true_states), np.asarray(inputs)
+
+    # ---------------------------------------------------------- model
+
+    def fit_model(self, opts: ModelFitOptions) -> np.ndarray:
+        """Re-init + train all seeds' GP heads and build all posteriors in
+        one call (MCPilco.fit_model + _build_posterior, batched).  Returns
+        the per-seed final MLL [S]."""
+        a = self.agent
+        mask = np.zeros(self.buf_x.shape[1], np.float32)
+        mask[: self._filled] = 1.0
+        mask = jnp.asarray(mask)
+        collections = self.num_collections
+
+        def one(key, x, y):
+            params = a.gp.init_params(
+                sigma_n=a.gp_sigma_n_init, per_head_overrides=a.gp_init_overrides
+            )
+            data = GPData(x=x, y=y, mask=mask)
+            params, losses = a.gp.fit(
+                params, data, num_epochs=opts.num_epochs, learning_rate=opts.learning_rate
+            )
+            if a.sod is not None:
+                ksel = prng.fold(prng.stream(key, prng.STREAM_MODEL_FIT), collections)
+                sel = sod_mod.select(a.gp, a.sod, params, data.x, data.y, data.mask, ksel)
+                post = a.gp.posterior(params, data.x, sel, data.y)
+            else:
+                post = a.gp.fit_posterior(params, data)
+            return params, post, losses[-1]
+
+        self.gp_params, self.posterior, mll_last = jax.jit(jax.vmap(one))(
+            self._shard(self.keys), self._shard(self.buf_x), self._shard(self.buf_y)
+        )
+        return np.asarray(mll_last)
+
+    # ---------------------------------------------------------- policy
+
+    def improve_policy(self, opts: PolicyOptOptions, trial_index: int) -> tuple:
+        """The production compiled policy-opt loop, vmapped over seeds.
+        Host chunking is preserved; a chunk ends early only when EVERY
+        seed's convergence monitor has fired."""
+        a = self.agent
+        opt = a.optimizer
+        num_steps = int(min(int(opts.opt_steps), opt.max_opt_steps))
+        keys = jax.vmap(
+            lambda k: prng.fold(prng.stream(k, prng.STREAM_ROLLOUT), trial_index)
+        )(self.keys)
+        keys = self._shard(keys)
+
+        carry = jax.jit(
+            jax.vmap(
+                lambda k, pp, gpp, post: opt._optimize_init(
+                    k, pp, gpp, post, opts.learning_rate, opts.p_dropout, trial_index
+                )
+            )
+        )(keys, self._shard(self.policy_params), self.gp_params, self.posterior)
+
+        chunk = jax.jit(
+            jax.vmap(
+                lambda c, k, gpp, post, end: opt._optimize_chunk(
+                    c, k, gpp, post, end, trial_index
+                ),
+                in_axes=(0, 0, 0, 0, None),
+            )
+        )
+        end = 0
+        while end < num_steps:
+            end = min(end + opt.chunk_steps, num_steps)
+            carry = chunk(carry, keys, self.gp_params, self.posterior, jnp.int32(end))
+            if bool(jnp.all(carry.done)):
+                break
+
+        if opt.keep_best:
+            self.policy_params = jax.vmap(
+                lambda c: jax.tree_util.tree_map(
+                    lambda b, l: jnp.where(jnp.isfinite(c.best_cost), b, l),
+                    c.best_params,
+                    c.params,
+                )
+            )(carry)
+        else:
+            self.policy_params = carry.params
+        return (
+            np.asarray(carry.cost_hist),
+            np.asarray(carry.step),
+            np.asarray(carry.reinit_count),
+        )
+
+    # ---------------------------------------------------------- main loop
+
+    def run(
+        self,
+        *,
+        num_trials: int,
+        T_exploration: float,
+        T_control: float,
+        model_fit_options: Sequence[ModelFitOptions],
+        policy_opt_options: Sequence[PolicyOptOptions],
+        num_explorations: int = 1,
+        verbose: bool = True,
+    ) -> FarmResult:
+        """The full MBRL loop for every seed at once (MCPilco.reinforce,
+        batched over the seed axis)."""
+        for e in range(num_explorations):
+            if verbose:
+                print(f"[seed-farm] exploration {e} ({len(self.seeds)} seeds)")
+            self.collect(T_exploration, trial_index=e, exploration=True)
+
+        logs: List[FarmTrialLog] = []
+        for trial in range(num_trials):
+            t0 = time.time()
+            mll_last = self.fit_model(
+                model_fit_options[min(trial, len(model_fit_options) - 1)]
+            )
+            if verbose:
+                print(
+                    f"[seed-farm] trial {trial}: N={self._filled} "
+                    f"mll_last median {np.median(mll_last):.1f} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+            t1 = time.time()
+            cost_hist, steps, reinits = self.improve_policy(
+                policy_opt_options[min(trial, len(policy_opt_options) - 1)], trial
+            )
+            if verbose:
+                last = cost_hist[np.arange(len(self.seeds)), np.maximum(steps - 1, 0)]
+                print(
+                    f"[seed-farm] trial {trial}: opt steps med {int(np.median(steps))}, "
+                    f"final cost med {np.median(last):.2f}, reinits {int(reinits.sum())} "
+                    f"({time.time() - t1:.1f}s, "
+                    f"{1e3 * (time.time() - t1) / max(int(steps.max()), 1):.2f} "
+                    f"ms/step-all-seeds)"
+                )
+            true_states, inputs = self.collect(
+                T_control, trial_index=self.num_collections, exploration=False
+            )
+            logs.append(
+                FarmTrialLog(
+                    cost_history=cost_hist,
+                    steps_done=steps,
+                    reinit_count=reinits,
+                    mll_last=mll_last,
+                    control_true=true_states,
+                    control_inputs=inputs,
+                    wall_clock_s=time.time() - t0,
+                )
+            )
+        return FarmResult(
+            seeds=np.asarray(list(self.seeds)),
+            trial_logs=logs,
+            policy_params=self.policy_params,
+        )

@@ -19,6 +19,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
@@ -85,6 +86,29 @@ INPUT_DIM = 1
 GP_INPUT_DIM = 6  # [x, xd, thd, sin(th), cos(th), u]
 
 
+def policy_init(cfg: CartpoleConfig, policy, key):
+    """Pure per-seed policy initializer (random centers over the state range,
+    random weights — test_mcpilco_cartpole.py:123-151).  ``key`` is the
+    scenario root key; pure JAX so the multi-seed farm can vmap it."""
+    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
+    k1, k2, k3 = jax.random.split(kc, 3)
+    center_scale = 2.0 if cfg.multi_init else 1.0  # +-2 m cart range (multi_init test :123)
+    angle_centers = jnp.pi * 2 * (jax.random.uniform(k1, (cfg.num_basis, 1)) - 0.5)
+    not_angle_centers = (
+        center_scale * jnp.pi * 2 * (jax.random.uniform(k2, (cfg.num_basis, 3)) - 0.5)
+    )
+    centers_init = jnp.concatenate(
+        [not_angle_centers, jnp.cos(angle_centers), jnp.sin(angle_centers)], axis=1
+    )
+    weight_init = cfg.u_max * (jax.random.uniform(k3, (INPUT_DIM, cfg.num_basis)) - 0.5)
+    return policy.init_params(
+        kc,
+        lengthscales=jnp.ones(STATE_DIM + 1),
+        centers=centers_init,
+        weight=weight_init,
+    )
+
+
 def build(cfg: CartpoleConfig, mesh=None) -> tuple:
     """Returns (MCPilco, reinforce_kwargs).  ``mesh`` (optional
     jax.sharding.Mesh with a particle axis) shards policy optimization
@@ -122,18 +146,6 @@ def build(cfg: CartpoleConfig, mesh=None) -> tuple:
         reinit_centers=(np.pi, np.pi, np.pi, 1.0, 1.0),
         reinit_weight=cfg.u_max,
     )
-    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
-    k1, k2, k3 = jax.random.split(kc, 3)
-    center_scale = 2.0 if cfg.multi_init else 1.0  # +-2 m cart range (multi_init test :123)
-    angle_centers = np.pi * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 1))) - 0.5)
-    not_angle_centers = (
-        center_scale * np.pi * 2 * (np.asarray(jax.random.uniform(k2, (cfg.num_basis, 3))) - 0.5)
-    )
-    centers_init = np.concatenate(
-        [not_angle_centers, np.cos(angle_centers), np.sin(angle_centers)], axis=1
-    )
-    weight_init = cfg.u_max * (np.asarray(jax.random.uniform(k3, (INPUT_DIM, cfg.num_basis))) - 0.5)
-
     exploration = RandomExploration(state_dim=STATE_DIM, input_dim=INPUT_DIM, u_max=cfg.u_max)
     cost = CartPoleCost(
         target_state=(np.pi, 0.0), lengthscales=(3.0, 1.0), angle_index=2, pos_index=0
@@ -183,10 +195,9 @@ def build(cfg: CartpoleConfig, mesh=None) -> tuple:
         log_dir=cfg.log_dir,
         mesh=mesh,
     )
-    # reproduce the scripted policy init (random centers/weights seeded above)
-    agent.policy_params = policy.init_params(
-        kc, lengthscales=np.ones(STATE_DIM + 1), centers=centers_init, weight=weight_init
-    )
+    # reproduce the scripted policy init (random centers/weights,
+    # test_mcpilco_cartpole.py:123-151)
+    agent.policy_params = policy_init(cfg, policy, key)
 
     reinforce_kwargs = dict(
         num_trials=cfg.num_trials,

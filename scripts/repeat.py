@@ -76,6 +76,47 @@ def run_seed_inprocess(scenario, seed, extra, platform):
     return seed, "success: True" in out, rc, out[-500:]
 
 
+def run_farm(args):
+    """Vmapped multi-seed training: every seed trains at once in batched
+    device programs (parallel/multiseed.SeedFarm), ``--farm-batch`` seeds per
+    batch.  Cartpole scenarios only (on-device plant + pure policy init)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from mcpilco_tpu.parallel.multiseed import SeedFarm
+    from mcpilco_tpu.scenarios import cartpole as scen
+
+    if args.scenario != "cartpole":
+        raise SystemExit("--farm currently supports the cartpole scenarios only")
+    results, costs = {}, {}
+    seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
+    for lo in range(0, len(seeds), args.farm_batch):
+        batch = seeds[lo : lo + args.farm_batch]
+        cfg = scen.CartpoleConfig(seed=batch[0])
+        if args.smoke:
+            cfg = cfg.smoke()
+        agent, kwargs = scen.build(cfg)
+        farm = SeedFarm(
+            agent, batch,
+            policy_init_fn=lambda k: scen.policy_init(cfg, agent.policy, k),
+        )
+        res = farm.run(**kwargs, verbose=True)
+        for i, s in enumerate(batch):
+            final = res.final_true[i]
+            ok = scen.swingup_success(final)
+            stage = agent.cost.stage_costs(
+                final[:, None, :], res.final_inputs[i][:, None, :]
+            )
+            results[s] = ok
+            costs[s] = round(float(np.sum(np.asarray(stage))), 4)
+            print(f"[repeat] seed {s}: success={ok} cost={costs[s]}", flush=True)
+    return results, costs
+
+
 def main():
     p = argparse.ArgumentParser("repeat over seeds")
     p.add_argument("--scenario", default="cartpole", choices=sorted(SCRIPTS))
@@ -86,13 +127,20 @@ def main():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--in-process", action="store_true",
                    help="run seeds sequentially in one process (shared jit cache)")
+    p.add_argument("--farm", action="store_true",
+                   help="train seeds batched on-device (vmapped SeedFarm)")
+    p.add_argument("--farm-batch", type=int, default=10,
+                   help="seeds per vmapped farm batch")
     args = p.parse_args()
 
     extra = ["--smoke"] if args.smoke else []
     seeds = range(args.first_seed, args.first_seed + args.num_seeds)
     results = {}
     costs = {}
-    if args.jobs > 1:
+    if args.farm:
+        results, costs = run_farm(args)
+        seeds = sorted(results)
+    elif args.jobs > 1:
         with cf.ThreadPoolExecutor(args.jobs) as ex:
             futs = [ex.submit(run_seed, args.scenario, s, extra, args.platform) for s in seeds]
             for f in cf.as_completed(futs):

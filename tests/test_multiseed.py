@@ -1,0 +1,96 @@
+"""Multi-seed farm: vmapped whole-training parity with the sequential path.
+
+Every stage is a pure function of the per-seed root key, so a farmed seed
+must reproduce the sequential MCPilco run of the same seed (same PRNG stream
+folds) up to batched-kernel float reassociation.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from mcpilco_tpu.parallel import mesh as mesh_mod
+from mcpilco_tpu.parallel.multiseed import SeedFarm
+from mcpilco_tpu.scenarios import cartpole as scen
+
+
+def _cfg(seed=3):
+    return dataclasses.replace(
+        scen.CartpoleConfig(seed=seed).smoke(),
+        num_particles=32,
+        opt_steps=(12,),
+        gp_epochs=60,
+        std_noise=1e-2,
+    )
+
+
+def _farm(seeds, mesh=None, cfg=None):
+    cfg = cfg or _cfg()
+    agent, kwargs = scen.build(cfg)
+    farm = SeedFarm(
+        agent,
+        seeds,
+        mesh=mesh,
+        policy_init_fn=lambda k: scen.policy_init(cfg, agent.policy, k),
+    )
+    res = farm.run(**kwargs, verbose=False)
+    return res, kwargs
+
+
+class TestSeedFarmParity:
+    def test_matches_sequential_run(self):
+        """Seed 3 farmed alongside other seeds == seed 3 trained alone."""
+        cfg = _cfg(seed=3)
+        agent, kwargs = scen.build(cfg)
+        agent.reinforce(**kwargs, verbose=False)
+
+        res, _ = _farm([2, 3, 5], cfg=_cfg(seed=0))
+        i = list(res.seeds).index(3)
+
+        # same exploration data -> same GP -> same optimization trajectory
+        log = res.trial_logs[-1]
+        seq = agent.trial_logs[-1]
+        assert int(log.steps_done[i]) == seq.steps_done
+        np.testing.assert_allclose(
+            log.cost_history[i, : seq.steps_done], seq.cost_history,
+            rtol=5e-3, atol=5e-3,
+        )
+        # same executed control trial on the plant
+        np.testing.assert_allclose(
+            log.control_true[i], agent.trials[-1].true, rtol=5e-2, atol=5e-2
+        )
+
+    def test_distinct_seeds_distinct_outcomes(self):
+        res, _ = _farm([2, 3, 5])
+        t = res.final_true
+        assert np.all(np.isfinite(t))
+        assert not np.allclose(t[0], t[1])
+        assert not np.allclose(t[1], t[2])
+
+
+class TestSeedFarmSharded:
+    def test_seed_axis_sharded_over_mesh(self, devices8):
+        """Pod-sliced farm: 8 seeds over an 8-device mesh, one seed per
+        device, matches the unsharded farm."""
+        seeds = list(range(1, 9))
+        res1, _ = _farm(seeds)
+        res8, _ = _farm(seeds, mesh=mesh_mod.make_mesh(8))
+        np.testing.assert_allclose(
+            res8.final_true, res1.final_true, rtol=5e-2, atol=5e-2
+        )
+        log1 = res1.trial_logs[-1]
+        log8 = res8.trial_logs[-1]
+        np.testing.assert_allclose(
+            log8.cost_history[:, :5], log1.cost_history[:, :5], rtol=5e-3, atol=5e-3
+        )
+
+    def test_rejects_bad_configs(self):
+        cfg = _cfg()
+        agent, _ = scen.build(cfg)
+        with pytest.raises(ValueError):
+            SeedFarm(agent, [1, 2, 3], mesh=mesh_mod.make_mesh(2))
+        agent2, _ = scen.build(cfg, mesh=mesh_mod.make_mesh(2))
+        with pytest.raises(ValueError):
+            SeedFarm(agent2, [1, 2])
