@@ -230,13 +230,13 @@ class PolicyOptimizer:
         self, key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index
     ) -> "_Carry":
         f32 = jnp.float32
-        grad_fn = jax.value_and_grad(self._rollout_cost, has_aux=True)
         lr0 = jnp.asarray(lr0, f32)
         p_dropout0 = jnp.asarray(p_dropout0, f32)
         # --- probe rollout to initialize the convergence monitor
-        # (MC_PILCO.py:430-463; dropout IS applied there despite the name)
+        # (MC_PILCO.py:430-463; dropout IS applied there despite the name);
+        # forward only — the probe's gradient is never used
         probe_key = prng.fold(key, 0x9999)
-        (c0, (s0_, st0, in0)), _ = grad_fn(
+        c0, (s0_, st0, in0) = self._rollout_cost(
             policy_params, gp_params, posterior, probe_key, p_dropout0, trial_index
         )
         cost_prev0 = jnp.where(jnp.isnan(c0), 0.0, c0)
