@@ -99,4 +99,23 @@ def integrate(ode: Callable, x0: jax.Array, u: jax.Array, dt: float, substeps: i
     return x
 
 
-REGISTRY = {"pendulum": pendulum, "cartpole": cartpole, "furuta": furuta}
+def furuta_qube(x: jax.Array, t, u: jax.Array) -> jax.Array:
+    """Furuta pendulum driven by a DC motor VOLTAGE (Quanser QUBE-Servo-2-like
+    parameters): tau = kt (V - km dtheta_h) / Rm.  The back-EMF term acts as
+    strong viscous damping on the arm, bounding its speed at V/km — this is
+    the configuration the reference's semiparametric Furuta model was built
+    for (its physics features include the linear dtheta_h and u cos(theta_v)
+    terms — Model_learning.py:817-837), and the bounded arm speed is what
+    makes fixed-step integration and BPTT through the learned model stable."""
+    kt, km, Rm = 0.042, 0.042, 8.4
+    dth_h = x[..., 2]
+    tau = kt * (u[..., 0] - km * dth_h) / Rm
+    return furuta(x, t, jnp.stack([tau], axis=-1))
+
+
+REGISTRY = {
+    "pendulum": pendulum,
+    "cartpole": cartpole,
+    "furuta": furuta,
+    "furuta_qube": furuta_qube,
+}

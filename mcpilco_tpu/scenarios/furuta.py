@@ -5,11 +5,24 @@ Exercises the reference's semiparametric model family
 each velocity-delta GP head is a *sum* of an SE kernel and a linear kernel
 over nine physics-derived features, so the model generalizes along the known
 rigid-body structure while the SE part absorbs the residuals.  The reference
-ships the model class but no simulator; envs/ode.py provides a standard
-Furuta plant so the scenario runs end-to-end.
+ships the model class but no simulator or scenario; envs/ode.py provides a
+QUBE-Servo-2-like plant (``furuta_qube``: DC-motor VOLTAGE input with
+back-EMF damping — the configuration the reference's physics features were
+written for, cf. the linear dtheta_h and u*cos(theta_v) terms at
+Model_learning.py:817-837) so the scenario runs end-to-end.
 
 State [theta_h, theta_v, dtheta_h, dtheta_v]; swing-up target |theta_v| = pi
-(pendulum up), horizontal arm at rest.
+(pendulum up), arm near home (theta_h = 0).
+
+Design notes (feasibility study, round 2): at u_max = 3 V the bang-bang
+energy-pumping bound reaches the upright energy in < 1 s and arm speed stays
+< 35 rad/s (back-EMF bounded), so a 3 s horizon leaves time to catch and
+balance.  Velocities reach ~(15, 30) rad/s during the swing, so the policy
+input is normalized by ``scale_factor`` — with unit-range centers the RBF
+features would otherwise all sit at "velocity ~ 0" and the policy could not
+represent velocity-phased pumping.  The cost penalizes the pendulum angle
+(ls 2) and the ARM ANGLE (ls 4, bounded during pumping) — penalizing arm
+*velocity* would fight the energy pumping itself.
 """
 
 from __future__ import annotations
@@ -18,6 +31,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
@@ -39,10 +53,12 @@ class FurutaConfig:
     T_exploration: float = 3.0
     T_control: float = 3.0
     num_trials: int = 5
-    u_max: float = 0.01  # N*m — small direct-drive arm (keeps |dth| < ~10 rad/s)
+    u_max: float = 3.0  # motor voltage limit (V) on the QUBE-like plant
     std_noise: float = 1e-3
     num_basis: int = 200
     num_particles: int = 400
+    # policy-input normalization (dth_h, dth_v, cos/sin of both angles)
+    scale_factor: tuple = (15.0, 30.0, 1.0, 1.0, 1.0, 1.0)
     opt_steps: tuple = (2000, 4000, 4000, 4000, 4000)
     gp_epochs: int = 1501
     semiparametric: bool = True
@@ -52,6 +68,18 @@ class FurutaConfig:
         return dataclasses.replace(
             self, num_trials=1, num_basis=40, num_particles=50, opt_steps=(60,), gp_epochs=300
         )
+
+
+def policy_init(cfg: FurutaConfig, policy, key):
+    """Pure per-seed policy initializer: centers uniform over the NORMALIZED
+    feature range, weights uniform +-u_max/2 (pure JAX for the seed farm)."""
+    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
+    k1, k2 = jax.random.split(kc)
+    centers = 2.0 * (jax.random.uniform(k1, (cfg.num_basis, 6)) - 0.5)
+    weight = cfg.u_max * (jax.random.uniform(k2, (1, cfg.num_basis)) - 0.5)
+    return policy.init_params(
+        kc, lengthscales=jnp.ones(6), centers=centers, weight=weight
+    )
 
 
 def build(cfg: FurutaConfig):
@@ -71,26 +99,27 @@ def build(cfg: FurutaConfig):
         )
     else:
         kern = K.SEArd(active_dims=tuple(range(d)))
-    # normalize_outputs: the direct-drive arm's velocity deltas are large and
-    # uneven across heads (flg_norm analog, Model_learning.py:406-409)
+    # normalize_outputs: velocity deltas are large and uneven across heads
+    # (flg_norm analog, Model_learning.py:406-409)
     gp = MultiGP(kernel=kern, num_heads=2, normalize_outputs=True)
 
     policy = SumOfGaussiansWithAngles(
         feature_dim=6, input_dim=1, num_basis=cfg.num_basis, u_max=cfg.u_max,
         angle_indices=(0, 1), non_angle_indices=(2, 3),
+        scale_factor=cfg.scale_factor,
         reinit_lengthscales=(1.0,) * 6,
-        reinit_centers=(np.pi, np.pi, 1.0, 1.0, 1.0, 1.0),
+        reinit_centers=(1.0,) * 6,  # normalized feature range
         reinit_weight=cfg.u_max,
     )
     exploration = RandomExploration(state_dim=4, input_dim=1, u_max=cfg.u_max)
-    # saturated distance on [|theta_v|, dtheta_h]: pendulum up, arm at rest;
-    # abs makes the physically equivalent -pi upright equally rewarded
-    # (the CartPoleCost |theta| idiom, Cost_function.py:177)
+    # saturated distance on [|theta_v| -> pi, theta_h -> 0]; abs makes the
+    # physically equivalent -pi upright equally rewarded (the CartPoleCost
+    # |theta| idiom, Cost_function.py:177)
     cost = SaturatedDistance(
-        target_state=(np.pi, 0.0), lengthscales=(2.0, 4.0), active_dims=(1, 2),
+        target_state=(np.pi, 0.0), lengthscales=(2.0, 4.0), active_dims=(1, 0),
         abs_dims=(1,),
     )
-    plant = ODEPlant(ode_name="furuta", noise_std=(cfg.std_noise,) * 4, substeps=40)
+    plant = ODEPlant(ode_name="furuta_qube", noise_std=(cfg.std_noise,) * 4, substeps=20)
     init_dist = InitialStateDistribution(kind="gaussian", mean=np.zeros(4), var=1e-6 * np.ones(4))
 
     engine = RolloutEngine(model=model, gp=gp, policy=policy)
@@ -106,6 +135,7 @@ def build(cfg: FurutaConfig):
         exploration_policy=exploration, cost=cost, optimizer=optimizer,
         plant=plant, init_dist=init_dist, seed=cfg.seed, log_dir=cfg.log_dir,
     )
+    agent.policy_params = policy_init(cfg, policy, key)
 
     reinforce_kwargs = dict(
         num_trials=cfg.num_trials,
@@ -120,3 +150,9 @@ def build(cfg: FurutaConfig):
     agent.scenario_name = "furuta"
     agent.scenario_config = cfg
     return agent, reinforce_kwargs
+
+
+def swingup_success(states: np.ndarray) -> bool:
+    """|theta_v| within 0.3 rad of pi over the final quarter."""
+    tail = states[-(len(states) // 4):]
+    return bool(np.all(np.abs(np.abs(tail[:, 1]) - np.pi) < 0.3))

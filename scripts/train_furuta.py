@@ -50,9 +50,14 @@ def main():
     agent.reinforce(**kwargs)
     print(f"\n[train_furuta] total wall-clock {time.time() - t0:.1f}s")
     final = agent.trials[-1]
-    tail = final.true[-(len(final.true) // 4):]
-    ok = bool(np.all(np.abs(np.abs(tail[:, 1]) - np.pi) < 0.3))
+    ok = scen.swingup_success(final.true)
     print(f"[train_furuta] final-trial swing-up success: {ok}")
+    import jax.numpy as jnp
+
+    stage = agent.cost.stage_costs(
+        jnp.asarray(final.true[:, None, :]), jnp.asarray(final.inputs[:, None, :])
+    )
+    print(f"[train_furuta] final-trial cumulative cost: {float(np.sum(np.asarray(stage))):.4f}")
     print("[train_furuta] tail |theta_v|-pi:", np.round(np.abs(np.abs(final.true[-5:, 1]) - np.pi), 3))
     return 0 if (ok or args.smoke) else 1
 

@@ -24,6 +24,7 @@ ALL_SCRIPTS = [
     "apply_policy.py",
     "plot_logs.py",
     "repeat.py",
+    "profile_opt.py",
 ]
 
 
