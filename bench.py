@@ -33,7 +33,9 @@ def main():
 
     from mcpilco_tpu.control.mc_pilco import ModelFitOptions
     from mcpilco_tpu.scenarios import cartpole as scen
+    from mcpilco_tpu.utils import prng
 
+    prng.use_fast_prng()
     log(f"[bench] devices: {jax.devices()}")
 
     cfg = scen.CartpoleConfig(seed=1)

@@ -70,12 +70,19 @@ class Posterior(NamedTuple):
     lets XLA hoist the head-independent pairwise-difference tensor out of
     the vmapped Gram in the rollout hot loop (~25% faster predict).
     ``norm`` rescales the normalized-target posterior back to output units.
+
+    ``var_factor`` is the variance-operator FACTOR F: the predictive quad
+    term is ``sum((k* @ F)^2, -1)``.  Exact path: F = L^-T (K^-1 = F F^T,
+    reference caches K^-1 itself — GP_prior.py:137-155); SOR path:
+    F = chol-factor of Sigma.  Factored form halves the hot matmul of the
+    rollout (one P x M x M contraction instead of two) and the squared sum
+    is cancellation-free.
     """
 
     x_tr: jax.Array  # [M, D] (shared) or [G, M, D]
     mask: jax.Array  # [G, M]
     alpha: jax.Array  # [G, M]
-    k_inv: jax.Array  # [G, M, M]
+    var_factor: jax.Array  # [G, M, M]
     norm: jax.Array  # [G]
 
 
@@ -152,17 +159,21 @@ class MultiGP:
         L = linalg.masked_cholesky(K, mask)
         resid = (y / norm - self.kernel.mean(kparams, x)) * mask
         alpha = linalg.chol_solve(L, resid[:, None])[:, 0]
-        k_inv = linalg.chol_inverse(L) * (mask[:, None] * mask[None, :])
-        return alpha * mask, k_inv
+        # variance factor F = L^-T: K^-1 = F F^T (see Posterior.var_factor)
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        f = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
+        f = f * (mask[:, None] * mask[None, :])
+        return alpha * mask, f
 
-    def _predict_head(self, kparams, x_tr, mask, alpha, k_inv, norm, x_star):
+    def _predict_head(self, kparams, x_tr, mask, alpha, var_factor, norm, x_star):
         # HIGHEST precision is load-bearing: the variance is a difference of
         # nearly-equal terms, and the TPU's default bf16 matmuls corrupt it
         # enough to drown the rollout in spurious sampling noise.
         hp = jax.lax.Precision.HIGHEST
         k_star = self.kernel.gram(kparams, x_star, x_tr) * mask  # [P, M]
         mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
-        quad = jnp.sum(jnp.matmul(k_star, k_inv, precision=hp) * k_star, axis=-1)
+        kf = jnp.matmul(k_star, var_factor, precision=hp)
+        quad = jnp.sum(kf * kf, axis=-1)
         diag = self.kernel.diag(kparams, x_star)
         var = diag - quad
         # Floor at jitter * prior-diag instead of 0: near-interpolation the
@@ -252,10 +263,10 @@ class MultiGP:
             else jnp.ones(self.num_heads, y.dtype)
         )
         x_axis = None if x_tr.ndim == 2 else 0
-        alpha, k_inv = jax.vmap(self._posterior_head, in_axes=(0, 0, x_axis, 0, 0, 0))(
+        alpha, var_factor = jax.vmap(self._posterior_head, in_axes=(0, 0, x_axis, 0, 0, 0))(
             params.kernel, params.log_sigma_n, x_tr, y, mask, norm
         )
-        return Posterior(x_tr=x_tr, mask=mask, alpha=alpha, k_inv=k_inv, norm=norm)
+        return Posterior(x_tr=x_tr, mask=mask, alpha=alpha, var_factor=var_factor, norm=norm)
 
     def predict(self, params: GPParams, post: Posterior, x_star: jax.Array):
         """Posterior mean/variance at ``x_star`` [..., D] for all heads.
@@ -277,7 +288,7 @@ class MultiGP:
             x_tr = jnp.broadcast_to(x_tr, (self.num_heads,) + x_tr.shape)
         return jax.vmap(
             lambda kp, xt, m, a, ki, nm: self._predict_head(kp, xt, m, a, ki, nm, x_star)
-        )(params.kernel, x_tr, post.mask, post.alpha, post.k_inv, post.norm)
+        )(params.kernel, x_tr, post.mask, post.alpha, post.var_factor, post.norm)
 
     def _fused_structure(self):
         """Returns ('se' | 'se+p2' | None) if the kernel matches a fused
@@ -332,7 +343,7 @@ class MultiGP:
         interpret = jax.default_backend() != "tpu"
         kalpha, quad = fp.gram_contract(
             se_w, se_lam, poly1, poly2a, poly2b, x_star, post.x_tr,
-            post.alpha, post.k_inv, post.mask, use_poly, interpret,
+            post.alpha, post.var_factor, post.mask, use_poly, interpret,
         )
         mean_prior = jax.vmap(lambda p: self.kernel.mean(p, x_star))(params.kernel)
         diag = jax.vmap(lambda p: self.kernel.diag(p, x_star))(params.kernel)
@@ -349,13 +360,12 @@ class MultiGP:
     # SOR replaces k(x,x') by k(x,U) K_UU^-1 k(U,x') for an inducing set U
     # (gpr_lib/GP_prior/Sparse_GP.py:33-232).  The posterior cache reuses the
     # Posterior tuple with x_tr = U (padded by a selection mask), alpha = the
-    # SOR coefficients, and k_inv = -Sigma, where
+    # SOR coefficients, and var_factor = the Cholesky-style factor of Sigma,
     #     Sigma = (K_UU + sigma_n^-2 K_UX K_XU)^-1        (:112-145)
     #     mean* = m* + k(*,U) alpha
-    #     var*  = sum((k(*,U) Sigma) o k(*,U))            (:147-169)
-    # The sign trick makes `predict` dispatch-free: var = diag - quad with
-    # quad = sum((k K_inv) o k); storing k_inv = -(Sigma) and a zero kernel
-    # diag is NOT possible, so SOR gets its own small predict path instead.
+    #     var*  = sum((k(*,U) F)^2),  Sigma = F F^T       (:147-169)
+    # Unlike the exact path the SOR variance is the quad term itself (no
+    # diag - quad), so SOR keeps its own small predict path.
     #
     # Inducing inputs can be (a) a masked subset of the training data
     # (``u=None``, ``sel`` marks rows of data.x — the reference's
@@ -377,10 +387,15 @@ class MultiGP:
         jit = linalg.adaptive_jitter(sigma_inv, u_mask, rel=self.jitter, floor=self.jitter)
         sigma_inv = sigma_inv + jit * jnp.diag(u_mask)
         L = linalg.masked_cholesky(sigma_inv, u_mask)
-        sigma = linalg.chol_inverse(L) * (u_mask[:, None] * u_mask[None, :])
+        # factor of Sigma: Sigma = F F^T with F = L^-T (see Posterior)
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        f = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
+        f = f * (u_mask[:, None] * u_mask[None, :])
         resid = (y / norm - self.kernel.mean(kparams, x)) * mask
-        alpha = (1.0 / noise) * jnp.matmul(sigma, jnp.matmul(K_xu.T, resid, precision=hp), precision=hp)
-        return alpha * u_mask, sigma
+        alpha = (1.0 / noise) * linalg.chol_solve(
+            L, jnp.matmul(K_xu.T, resid, precision=hp)[:, None]
+        )[:, 0]
+        return alpha * u_mask, f
 
     def sor_posterior(
         self, params: GPParams, data: GPData, sel: jax.Array, u: Optional[jax.Array] = None
@@ -391,14 +406,15 @@ class MultiGP:
         norm = self.output_norms(data)
         u_axis = 0 if u is not None else None
         u_arr = u if u is not None else data.x
-        alpha, sigma = jax.vmap(
+        alpha, factor = jax.vmap(
             lambda kp, lsn, yy, uu, ss, nm: self._sor_posterior_head(
                 kp, lsn, data.x, yy, data.mask, uu, ss, nm
             ),
             in_axes=(0, 0, 0, u_axis, 0, 0),
         )(params.kernel, params.log_sigma_n, data.y, u_arr, sel, norm)
         return Posterior(
-            x_tr=u if u is not None else data.x, mask=sel, alpha=alpha, k_inv=sigma, norm=norm
+            x_tr=u if u is not None else data.x, mask=sel, alpha=alpha,
+            var_factor=factor, norm=norm,
         )
 
     def _sor_mll_head(self, kparams, log_sigma_n, x, y, mask, u, u_mask, norm):
@@ -517,11 +533,12 @@ class MultiGP:
         )
         return params, u, losses
 
-    def _sor_predict_head(self, kparams, u, sel, alpha, sigma, norm, x_star):
+    def _sor_predict_head(self, kparams, u, sel, alpha, factor, norm, x_star):
         hp = jax.lax.Precision.HIGHEST
         k_star = self.kernel.gram(kparams, x_star, u) * sel
         mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
-        var = jnp.sum(jnp.matmul(k_star, sigma, precision=hp) * k_star, axis=-1)
+        kf = jnp.matmul(k_star, factor, precision=hp)
+        var = jnp.sum(kf * kf, axis=-1)
         var = jnp.maximum(var, self.jitter * self.kernel.diag(kparams, x_star))
         return mean * norm, var * norm * norm
 
@@ -530,4 +547,4 @@ class MultiGP:
         return jax.vmap(
             lambda kp, u, ss, a, sg, nm: self._sor_predict_head(kp, u, ss, a, sg, nm, x_star),
             in_axes=(0, x_axis, 0, 0, 0, 0),
-        )(params.kernel, post.x_tr, post.mask, post.alpha, post.k_inv, post.norm)
+        )(params.kernel, post.x_tr, post.mask, post.alpha, post.var_factor, post.norm)

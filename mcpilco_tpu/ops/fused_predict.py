@@ -4,13 +4,13 @@ The rollout hot loop evaluates, per scan step and per GP head,
 
     k* = k(x*, X_tr)            (SE-ARD, optionally + Volterra-MPK(2))
     mean = k* @ alpha
-    var  = k_diag - sum((k* @ K^-1) * k*, -1)
+    var  = k_diag - sum((k* @ F)^2, -1)       (F = Posterior.var_factor)
 
 XLA runs this as several kernels with k* round-tripping through HBM.  This
 module fuses the whole chain into one Pallas kernel per particle tile:
 distances, exp, the optional polynomial terms, and both contractions happen
 on a VMEM-resident k* tile for every head (heads unrolled statically — G is
-2-6), so HBM sees only the inputs (X_tr, alpha, K^-1) and the [P, G] outputs.
+2-6), so HBM sees only the inputs (X_tr, alpha, F) and the [P, G] outputs.
 
 Gradients: the op is wrapped in ``jax.custom_vjp`` whose backward re-expresses
 the forward in plain jnp and differentiates that — same formulas, XLA-
@@ -92,7 +92,7 @@ def _make_body(G: int, use_poly: bool):
                 k, kinv_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            var_ref[:, g] = jnp.sum(q * k, axis=1)
+            var_ref[:, g] = jnp.sum(q * q, axis=1)
 
     return body
 
@@ -113,7 +113,7 @@ def fused_gram_contract(se_w, se_lam, poly1, poly2a, poly2b,
 
     se_w [G, D] inverse-sq lengthscales; se_lam [G] outputscales;
     poly1 [G, D+1], poly2a/b [G, D]; x_star [P, D]; x_tr [M, D];
-    alpha [G, M]; k_inv [G, M, M]; mask [G, M].
+    alpha [G, M]; k_inv [G, M, M] (the variance FACTOR F); mask [G, M].
     Returns (kalpha [G, P], quad [G, P]).
     """
     G, D = se_w.shape
@@ -183,7 +183,8 @@ def _reference_gram_contract(se_w, se_lam, poly1, poly2a, poly2b,
     k = k * mask[:, None, :]
     hp = jax.lax.Precision.HIGHEST
     kalpha = jnp.einsum("gpm,gm->gp", k, alpha, precision=hp)
-    quad = jnp.einsum("gpm,gmn,gpn->gp", k, k_inv, k, precision=hp)
+    kf = jnp.einsum("gpm,gmn->gpn", k, k_inv, precision=hp)
+    quad = jnp.sum(kf * kf, axis=-1)
     return kalpha, quad
 
 

@@ -25,6 +25,18 @@ STREAM_MODEL_FIT = 0x70
 STREAM_SYSTEM = 0x81
 
 
+def use_fast_prng() -> None:
+    """Switch jax's default PRNG to the TPU-native ``rbg`` generator.
+
+    Threefry (the default) costs ~5% of the flagship policy-opt step in
+    per-scan-step dropout/sampling bits; ``rbg`` lowers to the hardware
+    RngBitGenerator.  Draws differ from threefry (and across backends), so
+    call this at process start (scripts/bench do) — never mid-run — and
+    expect seed-level, not bit-level, reproducibility.
+    """
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+
 def root_key(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
