@@ -147,6 +147,24 @@ class RolloutEngine:
     # the shipped scenarios are O(0.1-1); explosions reach O(1e3).  Enable
     # for sensor-chain (4PMS) or long-horizon configs.
     bptt_clip: Optional[float] = None
+    # Cap on the predicted per-step delta, in units of the largest observed
+    # training target (Posterior.norm): mean clipped to +-cap*norm, variance
+    # to (cap*norm)^2.  Unbounded-feature kernels (the semiparametric Linear
+    # over quadratic physics terms, Model_learning.py:817-837) have posterior
+    # mean AND variance that grow with ||feature||^2, so one particle leaving
+    # the data support explodes the whole closed-loop rollout within a few
+    # steps (measured: trial-0 Furuta NaN-reinit storms).  A delta larger
+    # than a few times the largest delta ever observed is physically
+    # impossible for a torque-limited system, so the cap only binds where
+    # the model has no data.  Requires MultiGP(normalize_outputs=True) for
+    # norm to carry the max-abs target scale.  None disables (exact parity).
+    delta_cap: Optional[float] = None
+
+    def _cap_delta(self, posterior, mean, var):
+        if self.delta_cap is None:
+            return mean, var
+        lim = self.delta_cap * posterior.norm[:, None]  # [G, 1] output units
+        return jnp.clip(mean, -lim, lim), jnp.minimum(var, lim * lim)
 
     # -------------------------------------------------- standard rollout
 
@@ -180,6 +198,7 @@ class RolloutEngine:
             kt = prng.fold(key, t)
             gp_in = self.model.gp_inputs(s, u)
             mean, var = self.gp.predict(gp_params, posterior, gp_in)
+            mean, var = self._cap_delta(posterior, mean, var)
             s_next, _, _ = self.model.sample_next_state(
                 s, u, mean, var, prng.stream(kt, prng.STREAM_ROLLOUT), particle_pred
             )
@@ -221,6 +240,7 @@ class RolloutEngine:
             kt = prng.fold(key, t)
             gp_in = self.model.gp_inputs(s, u)
             mean, var = self.gp.predict(gp_params, posterior, gp_in)
+            mean, var = self._cap_delta(posterior, mean, var)
             s_next, _, _ = self.model.sample_next_state(
                 s, u, mean, var, prng.stream(kt, prng.STREAM_ROLLOUT), particle_pred
             )
