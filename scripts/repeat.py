@@ -20,6 +20,7 @@ SCRIPTS = {
     "cartpole": "train_cartpole.py",
     "cartpole_pms": "train_cartpole_pms.py",
     "cartpole_mujoco": "train_cartpole_mujoco.py",
+    "furuta": "train_furuta.py",
     "ur5": "train_ur5.py",
 }
 
@@ -79,7 +80,7 @@ def run_seed_inprocess(scenario, seed, extra, platform):
 def run_farm(args):
     """Vmapped multi-seed training: every seed trains at once in batched
     device programs (parallel/multiseed.SeedFarm), ``--farm-batch`` seeds per
-    batch.  Cartpole scenarios only (on-device plant + pure policy init)."""
+    batch.  Supports the on-device-plant scenarios (cartpole, furuta)."""
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(HERE))
@@ -87,16 +88,25 @@ def run_farm(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    from mcpilco_tpu.parallel.multiseed import SeedFarm
-    from mcpilco_tpu.scenarios import cartpole as scen
+    import jax.numpy as jnp
 
-    if args.scenario != "cartpole":
-        raise SystemExit("--farm currently supports the cartpole scenarios only")
+    from mcpilco_tpu.parallel.multiseed import SeedFarm
+
+    if args.scenario == "cartpole":
+        from mcpilco_tpu.scenarios import cartpole as scen
+
+        make_cfg, success = scen.CartpoleConfig, scen.swingup_success
+    elif args.scenario == "furuta":
+        from mcpilco_tpu.scenarios import furuta as scen
+
+        make_cfg, success = scen.FurutaConfig, scen.swingup_success
+    else:
+        raise SystemExit("--farm supports the on-device scenarios: cartpole, furuta")
     results, costs = {}, {}
     seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
     for lo in range(0, len(seeds), args.farm_batch):
         batch = seeds[lo : lo + args.farm_batch]
-        cfg = scen.CartpoleConfig(seed=batch[0])
+        cfg = make_cfg(seed=batch[0])
         if args.smoke:
             cfg = cfg.smoke()
         agent, kwargs = scen.build(cfg)
@@ -107,9 +117,9 @@ def run_farm(args):
         res = farm.run(**kwargs, verbose=True)
         for i, s in enumerate(batch):
             final = res.final_true[i]
-            ok = scen.swingup_success(final)
+            ok = success(final)
             stage = agent.cost.stage_costs(
-                final[:, None, :], res.final_inputs[i][:, None, :]
+                jnp.asarray(final[:, None, :]), jnp.asarray(res.final_inputs[i][:, None, :])
             )
             results[s] = ok
             costs[s] = round(float(np.sum(np.asarray(stage))), 4)
