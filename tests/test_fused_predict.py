@@ -40,22 +40,50 @@ class TestFusedPredict:
         np.testing.assert_allclose(np.asarray(ka), np.asarray(ka_ref), rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(qd), np.asarray(qd_ref), rtol=2e-5, atol=1e-5)
 
-    def test_custom_vjp_matches_reference_grad(self):
-        args = _inputs(P=16, M=32)
+    @pytest.mark.parametrize("use_poly", [False, True])
+    @pytest.mark.parametrize("P", [16, 37])
+    def test_custom_vjp_matches_reference_grad(self, use_poly, P):
+        """x_star's cotangent comes from the hand-written Pallas backward
+        kernel (interpret mode) — must match autodiff of the jnp twin,
+        with weighted (non-uniform) output cotangents."""
+        args = _inputs(P=P, M=32)
+        wk = jnp.linspace(0.5, 1.5, 2 * P).reshape(2, P)
+        wq = jnp.linspace(-1.0, 1.0, 2 * P).reshape(2, P)
 
         def loss_fused(xs):
             a = list(args); a[5] = xs
-            ka, qd = fp.gram_contract(*a, True, True)
-            return jnp.sum(ka) + jnp.sum(qd)
+            ka, qd = fp.gram_contract(*a, use_poly, True)
+            return jnp.sum(wk * ka) + jnp.sum(wq * qd)
 
         def loss_ref(xs):
             a = list(args); a[5] = xs
-            ka, qd = fp._reference_gram_contract(*a, True)
-            return jnp.sum(ka) + jnp.sum(qd)
+            ka, qd = fp._reference_gram_contract(*a, use_poly)
+            return jnp.sum(wk * ka) + jnp.sum(wq * qd)
 
         g1 = jax.grad(loss_fused)(args[5])
         g2 = jax.grad(loss_ref)(args[5])
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+    def test_grad_wrt_other_inputs_still_correct(self):
+        """Cotangents for non-x_star inputs route through the twin subgraph
+        and must stay exact (they are DCE'd in the opt loop but live in
+        model-diagnostic contexts)."""
+        args = _inputs(P=12, M=32)
+
+        def loss_fused(alpha, f):
+            a = list(args); a[7] = alpha; a[8] = f
+            ka, qd = fp.gram_contract(*a, True, True)
+            return jnp.sum(ka * qd)
+
+        def loss_ref(alpha, f):
+            a = list(args); a[7] = alpha; a[8] = f
+            ka, qd = fp._reference_gram_contract(*a, True)
+            return jnp.sum(ka * qd)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(args[7], args[8])
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(args[7], args[8])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
 class TestMultiGPFusedPath:
