@@ -319,7 +319,33 @@ class MCPilco:
 
     def _build_posterior(self, data: GPData, info: Optional[dict] = None):
         """Exact / SOD-subset / SOR posterior, per configuration
-        (pretrain_gp dispatch analog, Model_learning.py:163-208)."""
+        (pretrain_gp dispatch analog, Model_learning.py:163-208).
+
+        Retries with 10x / 100x jitter if any posterior leaf is non-finite:
+        the TPU's blocked f32 Cholesky can tip over on datasets the CPU
+        factorizes fine (observed: UR5 trial 1, N=448 x D=24, near-noiseless
+        heads), and a NaN posterior otherwise NaN-storms every rollout of
+        the trial.  One escalation costs a re-factorization, not a re-fit.
+        """
+        gp0 = self.gp
+        try:
+            for scale in (1.0, 10.0, 100.0):
+                if scale > 1.0:
+                    self.gp = dataclasses.replace(gp0, jitter=gp0.jitter * scale)
+                post = self._build_posterior_once(data, info)
+                leaves = jax.tree_util.tree_leaves(post)
+                if all(bool(jnp.all(jnp.isfinite(l))) for l in leaves):
+                    if scale > 1.0:
+                        print(f"[mc-pilco] posterior needed {scale:.0f}x jitter")
+                        if info is not None:
+                            info["jitter_scale"] = scale
+                    return post
+            print("[mc-pilco] WARNING: posterior non-finite even at 100x jitter")
+            return post
+        finally:
+            self.gp = gp0
+
+    def _build_posterior_once(self, data: GPData, info: Optional[dict] = None):
         if self.sod is not None:
             k = prng.fold(prng.stream(self.key, prng.STREAM_MODEL_FIT), self.num_collections)
             sel = sod_mod.select(self.gp, self.sod, self.gp_params, data.x, data.y, data.mask, k)

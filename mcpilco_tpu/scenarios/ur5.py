@@ -112,6 +112,11 @@ def build(cfg: UR5Config):
         max_opt_steps=max(cfg.opt_steps),
         alpha_diff_cost=0.99, min_diff_cost=0.04, num_min_diff_cost=400,
         min_step=400.0, lr_min=0.0025, p_drop_reduction=0.125,
+        # trial-1 steps reach ~100 ms (24-dim GP inputs, larger SOD bucket);
+        # the default 500-step chunk is a ~1 min uninterrupted device
+        # execution, which crashes the tunneled TPU runtime (observed twice
+        # at the same trial-1 sync).  100-step chunks keep executions ~10 s.
+        chunk_steps=100,
     )
     agent = MCPilco(
         dt=cfg.dt, model=model, gp=gp, policy=policy,

@@ -226,3 +226,39 @@ class TestFurutaScenario:
             errs[sp] = float(np.mean(agent.one_step_mse(-1)))
         # both models should be sane; semiparametric at least comparable
         assert errs[True] < max(5 * errs[False], 0.5)
+
+
+class TestPosteriorJitterEscalation:
+    def test_nan_posterior_retries_with_larger_jitter(self):
+        """TPU f32 Cholesky can tip over where CPU survives (UR5 trial 1);
+        _build_posterior must detect the non-finite posterior and rebuild
+        with escalated jitter instead of NaN-storming the trial."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from mcpilco_tpu.models import kernels as K
+        from mcpilco_tpu.models.gp import GPData, MultiGP
+        from mcpilco_tpu.scenarios import cartpole as scen
+
+        agent, _ = scen.build(scen.CartpoleConfig(seed=1).smoke())
+        # rank-deficient dataset (8 unique rows duplicated to 64) + a jitter
+        # one escalation step below the factorization threshold
+        x1 = jax.random.normal(jax.random.PRNGKey(0), (8, 6))
+        x = jnp.concatenate([x1] * 8)
+        y = jnp.stack([jnp.sin(x[:, 0]), jnp.cos(x[:, 1])])
+        data = GPData(x=x, y=y, mask=jnp.ones(64))
+        agent.gp = dataclasses.replace(agent.gp, jitter=3e-8)
+        agent.gp_params = agent.gp.init_params(sigma_n=1e-4)
+        agent.sod = None
+
+        base = agent.gp.fit_posterior(agent.gp_params, data)
+        assert not bool(jnp.all(jnp.isfinite(base.var_factor)))  # fixture is hard
+
+        info = {}
+        post = agent._build_posterior(data, info)
+        for leaf in jax.tree_util.tree_leaves(post):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+        assert info.get("jitter_scale") in (10.0, 100.0)
+        assert agent.gp.jitter == 3e-8  # restored after escalation
