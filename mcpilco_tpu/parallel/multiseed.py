@@ -246,9 +246,18 @@ class SeedFarm:
                 in_axes=(0, 0, 0, 0, None),
             )
         )
+        # Per-chunk budget scaled down by batch size AND horizon: a chunk's
+        # device execution grows ~linearly with both, and uninterrupted
+        # executions past ~1 min crash the tunneled TPU runtime (measured
+        # twice: an 8-seed cartpole farm and a 4-seed furuta farm, each with
+        # too-long chunks, died at the first sync — the same failure class
+        # as the long-horizon UR5 config before its chunk fix).  The base
+        # chunk_steps is tuned for one seed at horizon ~60.
+        scale = max(len(self.seeds), 1) * max(opt.horizon, 1)
+        chunk_steps = max(25, 2 * opt.chunk_steps * 60 // scale)
         end = 0
         while end < num_steps:
-            end = min(end + opt.chunk_steps, num_steps)
+            end = min(end + chunk_steps, num_steps)
             carry = chunk(carry, keys, self.gp_params, self.posterior, jnp.int32(end))
             if bool(jnp.all(carry.done)):
                 break

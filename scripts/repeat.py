@@ -139,8 +139,8 @@ def main():
                    help="run seeds sequentially in one process (shared jit cache)")
     p.add_argument("--farm", action="store_true",
                    help="train seeds batched on-device (vmapped SeedFarm)")
-    p.add_argument("--farm-batch", type=int, default=10,
-                   help="seeds per vmapped farm batch")
+    p.add_argument("--farm-batch", type=int, default=4,
+                   help="seeds per vmapped farm batch (4 is the one-chip sweet spot; larger batches degrade per-seed throughput)")
     args = p.parse_args()
 
     extra = ["--smoke"] if args.smoke else []
