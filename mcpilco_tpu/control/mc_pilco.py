@@ -328,10 +328,14 @@ class MCPilco:
         the trial.  One escalation costs a re-factorization, not a re-fit.
         """
         gp0 = self.gp
+        params0 = self.gp_params
         try:
             for scale in (1.0, 10.0, 100.0):
                 if scale > 1.0:
                     self.gp = dataclasses.replace(gp0, jitter=gp0.jitter * scale)
+                    # the SOR path's fit_sor refinement mutates gp_params;
+                    # each attempt must start from the same fitted state
+                    self.gp_params = params0
                 post = self._build_posterior_once(data, info)
                 leaves = jax.tree_util.tree_leaves(post)
                 if all(bool(jnp.all(jnp.isfinite(l))) for l in leaves):
@@ -409,6 +413,15 @@ class MCPilco:
         x, y = self.model.training_pairs(states, inputs)
         mean, _ = self.gp.predict(self.gp_params, self.posterior, x)
         return np.asarray(jnp.mean((mean - y) ** 2, axis=-1))
+
+    def trial_cumulative_cost(self, trial_index: int = -1) -> float:
+        """Cumulative cost of an EXECUTED trial on the plant (the per-seed
+        statistic the reference's repeat protocol aggregates)."""
+        trial = self.trials[trial_index]
+        stage = self.cost.stage_costs(
+            jnp.asarray(trial.true[:, None, :]), jnp.asarray(trial.inputs[:, None, :])
+        )
+        return float(jnp.sum(stage))
 
     def rollout_mse(self, trial_index: int = -1) -> np.ndarray:
         """Open-loop rollout MSE per state dim against a stored trial

@@ -286,6 +286,7 @@ class RolloutEngine:
             t, u = t_u
             gp_in = self.model.gp_inputs(s[None, :], u[None, :])
             mean, var = self.gp.predict(gp_params, posterior, gp_in)
+            mean, var = self._cap_delta(posterior, mean, var)
             s_next, _, _ = self.model.sample_next_state(
                 s[None, :], u[None, :], mean, var, prng.fold(key, t), particle_pred
             )

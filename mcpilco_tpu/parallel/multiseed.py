@@ -119,9 +119,19 @@ class SeedFarm:
         self.gp_params = None
         self.posterior = None
         self.num_collections = 0
+        # jitted-callable cache: rebuilding jax.jit(jax.vmap(lambda ...))
+        # per call would defeat the jit cache (new function identity) and
+        # recompile the big programs every trial
+        self._jit_cache = {}
         self._filled = 0  # valid pairs in the data buffers
         self.buf_x = None  # [S, cap, D]
         self.buf_y = None  # [S, G, cap]
+
+    def _cached(self, key, make):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = make()
+        return fn
 
     # ---------------------------------------------------------- seed sharding
 
@@ -158,22 +168,26 @@ class SeedFarm:
         fixed = a.fixed_initial_state
         mean = np.asarray(a.init_dist.mean, np.float32)
 
-        def one(key, params):
-            if fixed:
-                x0 = jnp.asarray(mean[0] if mean.ndim == 2 else mean)
-            else:
-                x0 = a.init_dist.sample_single(
-                    prng.fold(prng.stream(key, prng.STREAM_SYSTEM), trial_index, 0xA)
-                )
-            k = prng.fold(prng.stream(key, prng.STREAM_SYSTEM), trial_index)
-            run = a.plant._device_rollout(pol, params)
-            out = run(k, x0, 0.0, num_steps, a.dt)
-            measured, inputs, states = out[0], out[1], out[2]
-            x, y = a.model.training_pairs(measured, inputs)
-            return x, y, states, inputs
+        def make():
+            def one(key, params, t_idx):
+                if fixed:
+                    x0 = jnp.asarray(mean[0] if mean.ndim == 2 else mean)
+                else:
+                    x0 = a.init_dist.sample_single(
+                        prng.fold(prng.stream(key, prng.STREAM_SYSTEM), t_idx, 0xA)
+                    )
+                k = prng.fold(prng.stream(key, prng.STREAM_SYSTEM), t_idx)
+                run = a.plant._device_rollout(pol, params)
+                out = run(k, x0, 0.0, num_steps, a.dt)
+                measured, inputs, states = out[0], out[1], out[2]
+                x, y = a.model.training_pairs(measured, inputs)
+                return x, y, states, inputs
 
-        x, y, true_states, inputs = jax.jit(jax.vmap(one))(
-            self._shard(self.keys), self._shard(params_b)
+            return jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
+
+        fn = self._cached(("collect", exploration, num_steps), make)
+        x, y, true_states, inputs = fn(
+            self._shard(self.keys), self._shard(params_b), jnp.int32(trial_index)
         )
         n = x.shape[1]
         self._grow(n)
@@ -188,31 +202,59 @@ class SeedFarm:
     def fit_model(self, opts: ModelFitOptions) -> np.ndarray:
         """Re-init + train all seeds' GP heads and build all posteriors in
         one call (MCPilco.fit_model + _build_posterior, batched).  Returns
-        the per-seed final MLL [S]."""
+        the per-seed final MLL [S].
+
+        Posterior finiteness is guarded in-graph: each seed's posterior is
+        built at 1x/10x/100x jitter and the first finite one selected (the
+        vmapped analog of MCPilco._build_posterior's escalation retry — the
+        TPU's f32 Cholesky can tip over on one seed's dataset, and without
+        the guard that seed NaN-storms its whole training).  The two extra
+        factorizations are negligible next to the MLL fit."""
         a = self.agent
         mask = np.zeros(self.buf_x.shape[1], np.float32)
         mask[: self._filled] = 1.0
-        mask = jnp.asarray(mask)
-        collections = self.num_collections
 
-        def one(key, x, y):
-            params = a.gp.init_params(
-                sigma_n=a.gp_sigma_n_init, per_head_overrides=a.gp_init_overrides
+        def make():
+            gp_variants = tuple(
+                dataclasses.replace(a.gp, jitter=a.gp.jitter * scale)
+                for scale in (1.0, 10.0, 100.0)
             )
-            data = GPData(x=x, y=y, mask=mask)
-            params, losses = a.gp.fit(
-                params, data, num_epochs=opts.num_epochs, learning_rate=opts.learning_rate
-            )
-            if a.sod is not None:
-                ksel = prng.fold(prng.stream(key, prng.STREAM_MODEL_FIT), collections)
-                sel = sod_mod.select(a.gp, a.sod, params, data.x, data.y, data.mask, ksel)
-                post = a.gp.posterior(params, data.x, sel, data.y)
-            else:
-                post = a.gp.fit_posterior(params, data)
-            return params, post, losses[-1]
 
-        self.gp_params, self.posterior, mll_last = jax.jit(jax.vmap(one))(
-            self._shard(self.keys), self._shard(self.buf_x), self._shard(self.buf_y)
+            def build_post(gp, params, data, key, collections):
+                if a.sod is not None:
+                    ksel = prng.fold(prng.stream(key, prng.STREAM_MODEL_FIT), collections)
+                    sel = sod_mod.select(gp, a.sod, params, data.x, data.y, data.mask, ksel)
+                    return gp.posterior(params, data.x, sel, data.y)
+                return gp.fit_posterior(params, data)
+
+            def finite(post):
+                return jnp.stack(
+                    [jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(post)]
+                ).all()
+
+            def one(key, x, y, mask, collections):
+                params = a.gp.init_params(
+                    sigma_n=a.gp_sigma_n_init, per_head_overrides=a.gp_init_overrides
+                )
+                data = GPData(x=x, y=y, mask=mask)
+                params, losses = a.gp.fit(
+                    params, data,
+                    num_epochs=opts.num_epochs, learning_rate=opts.learning_rate,
+                )
+                posts = [build_post(gv, params, data, key, collections) for gv in gp_variants]
+                ok0, ok1 = finite(posts[0]), finite(posts[1])
+                post = jax.tree_util.tree_map(
+                    lambda p0, p1, p2: jnp.where(ok0, p0, jnp.where(ok1, p1, p2)),
+                    *posts,
+                )
+                return params, post, losses[-1]
+
+            return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, None)))
+
+        fn = self._cached(("fit", opts.num_epochs, opts.learning_rate, self.buf_x.shape[1]), make)
+        self.gp_params, self.posterior, mll_last = fn(
+            self._shard(self.keys), self._shard(self.buf_x), self._shard(self.buf_y),
+            jnp.asarray(mask), jnp.int32(self.num_collections),
         )
         return np.asarray(mll_last)
 
@@ -225,26 +267,38 @@ class SeedFarm:
         a = self.agent
         opt = a.optimizer
         num_steps = int(min(int(opts.opt_steps), opt.max_opt_steps))
-        keys = jax.vmap(
-            lambda k: prng.fold(prng.stream(k, prng.STREAM_ROLLOUT), trial_index)
-        )(self.keys)
-        keys = self._shard(keys)
+        key_fn = self._cached(
+            "opt_keys",
+            lambda: jax.jit(jax.vmap(
+                lambda k, ti: prng.fold(prng.stream(k, prng.STREAM_ROLLOUT), ti),
+                in_axes=(0, None),
+            )),
+        )
+        keys = self._shard(key_fn(self.keys, jnp.int32(trial_index)))
 
-        carry = jax.jit(
-            jax.vmap(
-                lambda k, pp, gpp, post: opt._optimize_init(
-                    k, pp, gpp, post, opts.learning_rate, opts.p_dropout, trial_index
-                )
-            )
-        )(keys, self._shard(self.policy_params), self.gp_params, self.posterior)
-
-        chunk = jax.jit(
-            jax.vmap(
-                lambda c, k, gpp, post, end: opt._optimize_chunk(
-                    c, k, gpp, post, end, trial_index
+        init = self._cached(
+            "opt_init",
+            lambda: jax.jit(jax.vmap(
+                lambda k, pp, gpp, post, lr, pd, ti: opt._optimize_init(
+                    k, pp, gpp, post, lr, pd, ti
                 ),
-                in_axes=(0, 0, 0, 0, None),
-            )
+                in_axes=(0, 0, 0, 0, None, None, None),
+            )),
+        )
+        carry = init(
+            keys, self._shard(self.policy_params), self.gp_params, self.posterior,
+            jnp.float32(opts.learning_rate), jnp.float32(opts.p_dropout),
+            jnp.int32(trial_index),
+        )
+
+        chunk = self._cached(
+            "opt_chunk",
+            lambda: jax.jit(jax.vmap(
+                lambda c, k, gpp, post, end, ti: opt._optimize_chunk(
+                    c, k, gpp, post, end, ti
+                ),
+                in_axes=(0, 0, 0, 0, None, None),
+            )),
         )
         # Per-chunk budget scaled down by batch size AND horizon: a chunk's
         # device execution grows ~linearly with both, and uninterrupted
@@ -258,7 +312,10 @@ class SeedFarm:
         end = 0
         while end < num_steps:
             end = min(end + chunk_steps, num_steps)
-            carry = chunk(carry, keys, self.gp_params, self.posterior, jnp.int32(end))
+            carry = chunk(
+                carry, keys, self.gp_params, self.posterior,
+                jnp.int32(end), jnp.int32(trial_index),
+            )
             if bool(jnp.all(carry.done)):
                 break
 

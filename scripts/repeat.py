@@ -71,6 +71,9 @@ def run_seed_inprocess(scenario, seed, extra, platform):
             rc = mod.main()
     except SystemExit as e:  # argparse or explicit exit
         rc = int(e.code or 0)
+    except Exception as e:  # one crashed seed must not lose the whole sweep
+        print(f"[repeat] seed {seed} raised {type(e).__name__}: {e}", file=sys.stderr)
+        rc = 1
     finally:
         sys.argv = old_argv
     out = buf.getvalue()
@@ -122,7 +125,7 @@ def run_farm(args):
                 jnp.asarray(final[:, None, :]), jnp.asarray(res.final_inputs[i][:, None, :])
             )
             results[s] = ok
-            costs[s] = round(float(np.sum(np.asarray(stage))), 4)
+            costs[s] = round(float(jnp.sum(stage)), 4)
             print(f"[repeat] seed {s}: success={ok} cost={costs[s]}", flush=True)
     return results, costs
 

@@ -64,13 +64,9 @@ def main():
     # success oracle on the final on-plant trial
     final = agent.trials[-1]
     ok = scen.swingup_success(final.true)
-    # cumulative cost of the executed final trial (the reference's per-seed
-    # statistic; repeat_test.py aggregates it over seeds 1..50)
-    stage = agent.cost.stage_costs(final.true[:, None, :], final.inputs[:, None, :])
-    cum_cost = float(np.sum(np.asarray(stage)))
     print(f"\n[train_cartpole] total wall-clock {wall:.1f}s over {len(logs)} trials")
     print(f"[train_cartpole] final-trial swing-up success: {ok}")
-    print(f"[train_cartpole] final-trial cumulative cost: {cum_cost:.4f}")
+    print(f"[train_cartpole] final-trial cumulative cost: {agent.trial_cumulative_cost():.4f}")
     print(
         "[train_cartpole] final trial tail |theta|-pi:",
         np.round(np.abs(np.abs(final.true[-5:, 2]) - np.pi), 3),

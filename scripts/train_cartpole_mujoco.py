@@ -48,12 +48,7 @@ def main():
     final = agent.trials[-1]
     ok = scen.swingup_success(final.true)
     print(f"[train_cartpole_mujoco] final-trial swing-up success: {ok}")
-    import jax.numpy as jnp
-
-    stage = agent.cost.stage_costs(
-        jnp.asarray(final.true[:, None, :]), jnp.asarray(final.inputs[:, None, :])
-    )
-    print(f"[train_cartpole_mujoco] final-trial cumulative cost: {float(np.sum(np.asarray(stage))):.4f}")
+    print(f"[train_cartpole_mujoco] final-trial cumulative cost: {agent.trial_cumulative_cost():.4f}")
     print(
         "[train_cartpole_mujoco] tail theta:",
         np.round(final.true[-5:, 1], 3), " x:", np.round(final.true[-5:, 0], 3),

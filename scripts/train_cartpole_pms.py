@@ -48,12 +48,7 @@ def main():
     ok = scen.swingup_success(final.true)
     print(f"\n[train_cartpole_pms] total wall-clock {wall:.1f}s")
     print(f"[train_cartpole_pms] final-trial swing-up success: {ok}")
-    import jax.numpy as jnp
-
-    stage = agent.cost.stage_costs(
-        jnp.asarray(final.true[:, None, :]), jnp.asarray(final.inputs[:, None, :])
-    )
-    print(f"[train_cartpole_pms] final-trial cumulative cost: {float(np.sum(np.asarray(stage))):.4f}")
+    print(f"[train_cartpole_pms] final-trial cumulative cost: {agent.trial_cumulative_cost():.4f}")
     print(
         "[train_cartpole_pms] tail |theta|-pi:",
         np.round(np.abs(np.abs(final.true[-5:, 2]) - np.pi), 3),

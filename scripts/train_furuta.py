@@ -52,12 +52,7 @@ def main():
     final = agent.trials[-1]
     ok = scen.swingup_success(final.true)
     print(f"[train_furuta] final-trial swing-up success: {ok}")
-    import jax.numpy as jnp
-
-    stage = agent.cost.stage_costs(
-        jnp.asarray(final.true[:, None, :]), jnp.asarray(final.inputs[:, None, :])
-    )
-    print(f"[train_furuta] final-trial cumulative cost: {float(np.sum(np.asarray(stage))):.4f}")
+    print(f"[train_furuta] final-trial cumulative cost: {agent.trial_cumulative_cost():.4f}")
     print("[train_furuta] tail |theta_v|-pi:", np.round(np.abs(np.abs(final.true[-5:, 1]) - np.pi), 3))
     return 0 if (ok or args.smoke) else 1
 
