@@ -35,7 +35,11 @@ def main():
     from mcpilco_tpu.scenarios import cartpole as scen
     from mcpilco_tpu.utils import prng
 
-    prng.use_fast_prng()
+    # The headline measures the PRODUCTION configuration — the default
+    # threefry PRNG every training script and the validated seed sweeps use.
+    # The TPU hardware RNG (prng.use_fast_prng, ~5% faster) is measured as a
+    # secondary number below; it is opt-in precisely because switching RNG
+    # streams reshuffles seed-level outcomes (see RESULTS.md).
     log(f"[bench] devices: {jax.devices()}")
 
     cfg = scen.CartpoleConfig(seed=1)
@@ -76,6 +80,23 @@ def main():
         f"cost {c[0]:.2f} -> {c[steps - 1]:.2f}; reinits={int(res.reinit_count)}"
     )
 
+    # secondary: the TPU hardware RNG (rbg) variant of the same loop
+    prng.use_fast_prng()
+    fast_key = jax.random.PRNGKey(7)
+    res_f = opt.optimize(
+        fast_key, agent.policy_params, agent.gp_params, agent.posterior,
+        num_opt_steps=20, lr0=0.01, p_dropout0=0.25,
+    )
+    jax.block_until_ready(res_f.cost_history)
+    t0 = time.time()
+    res_f = opt.optimize(
+        jax.random.fold_in(fast_key, 1), agent.policy_params, agent.gp_params,
+        agent.posterior, num_opt_steps=n_steps, lr0=0.01, p_dropout0=0.25,
+    )
+    jax.block_until_ready(res_f.cost_history)
+    fast_ms = 1e3 * (time.time() - t0) / max(int(res_f.steps_done), 1)
+    log(f"[bench] hardware-RNG variant: {fast_ms:.2f} ms/step")
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     baseline_ms = None
     if os.path.exists(baseline_path):
@@ -87,6 +108,7 @@ def main():
         "value": round(ms_per_step, 3),
         "unit": "ms/step",
         "vs_baseline": round(baseline_ms / ms_per_step, 2) if baseline_ms else None,
+        "fast_prng_ms_per_step": round(fast_ms, 3),
     }
     print(json.dumps(out))
 

@@ -158,6 +158,7 @@ class MCPilco:
         self.trials: List[TrialData] = []
         self.trial_logs: List[TrialLog] = []
         self.num_collections = 0
+        self.num_exploration_trials = 0
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
 
@@ -173,14 +174,20 @@ class MCPilco:
         self.trials.append(trial)
         self.num_collections += 1
 
-    def add_external_trial(self, measured: np.ndarray, inputs: np.ndarray) -> None:
+    def add_external_trial(
+        self, measured: np.ndarray, inputs: np.ndarray, exploration: bool = False
+    ) -> None:
         """Hardware-in-the-loop data entry (MC_PILCO_Experiment analog,
         MC_PILCO.py:1016-1068): feed measured states + applied inputs.
 
         Shapes are validated like the reference's CSV ingestion
         (MC_PILCO.py:1055-1058): measured [T, state_dim], inputs [T, input_dim]
-        (a flat input vector is reshaped for input_dim = 1).
+        (a flat input vector is reshaped for input_dim = 1).  Mark operator
+        exploration runs with ``exploration=True`` so per-trial cost schedules
+        stay aligned with control-trial ordinals.
         """
+        if exploration:
+            self.num_exploration_trials += 1
         measured = np.asarray(measured, np.float32)
         inputs = np.asarray(inputs, np.float32).reshape(-1, self.model.input_dim)
         if measured.ndim != 2 or measured.shape[1] != self.model.state_dim:
@@ -279,6 +286,8 @@ class MCPilco:
             )
         pol = self.exploration_policy if exploration else self.policy
         params = self.expl_params if exploration else self.policy_params
+        if exploration:
+            self.num_exploration_trials += 1
         x0 = self._sample_x0(trial_index)
         k = prng.fold(prng.stream(self.key, prng.STREAM_SYSTEM), trial_index)
         trial = self.plant.rollout(k, x0, pol, params, T, self.dt)
@@ -344,8 +353,13 @@ class MCPilco:
                         if info is not None:
                             info["jitter_scale"] = scale
                     return post
-            print("[mc-pilco] WARNING: posterior non-finite even at 100x jitter")
-            return post
+            # Returning a NaN posterior would just defer the failure into a
+            # rollout NaN-storm the guard exists to prevent; fail loudly.
+            raise FloatingPointError(
+                "GP posterior non-finite even at 100x jitter escalation "
+                f"(N={int(jnp.sum(data.mask))}, jitter={gp0.jitter:g}); "
+                "the model fit is numerically unusable for this trial"
+            )
         finally:
             self.gp = gp0
 
@@ -418,8 +432,15 @@ class MCPilco:
         """Cumulative cost of an EXECUTED trial on the plant (the per-seed
         statistic the reference's repeat protocol aggregates)."""
         trial = self.trials[trial_index]
+        # Per-trial cost schedules (e.g. UR5's tracking cost with per_trial
+        # lengthscales) are indexed by CONTROL-trial ordinal, the same index
+        # improve_policy optimized with — exploration trials don't count.
+        resolved = trial_index if trial_index >= 0 else len(self.trials) + trial_index
+        resolved = max(0, resolved - self.num_exploration_trials)
         stage = self.cost.stage_costs(
-            jnp.asarray(trial.true[:, None, :]), jnp.asarray(trial.inputs[:, None, :])
+            jnp.asarray(trial.true[:, None, :]),
+            jnp.asarray(trial.inputs[:, None, :]),
+            trial_index=resolved,
         )
         return float(jnp.sum(stage))
 
@@ -549,9 +570,20 @@ class MCPilco:
         }
         if self.gp_params is not None:
             trees["gp_params"] = self.gp_params
+        # full TrialLog fidelity: per-log arrays (incl. particle snapshots,
+        # ~0.4-2 MB/trial) go into their own fixed-structure pytrees so a
+        # resumed run replays/plots identically to an unbroken one
+        for i, l in enumerate(self.trial_logs):
+            trees[f"trial_log_{i}"] = {
+                "cost": l.cost_history,
+                "std": l.std_history,
+                "p_states": l.particles_states,
+                "p_inputs": l.particles_inputs,
+            }
         meta = {
             "seed": self.seed,
             "num_collections": self.num_collections,
+            "num_exploration_trials": self.num_exploration_trials,
             "dt": self.dt,
             "stage": stage,
             "scenario": (
@@ -565,7 +597,16 @@ class MCPilco:
             "trial_measured": [t.measured.tolist() for t in self.trials],
             "trial_inputs": [t.inputs.tolist() for t in self.trials],
             "trial_true": [t.true.tolist() for t in self.trials],
-            "cost_histories": [l.cost_history.tolist() for l in self.trial_logs],
+            "trial_noisy": [t.noisy.tolist() for t in self.trials],
+            "num_trial_logs": len(self.trial_logs),
+            "trial_log_scalars": [
+                {
+                    "steps_done": int(l.steps_done),
+                    "reinit_count": int(l.reinit_count),
+                    "wall_clock_s": float(l.wall_clock_s),
+                }
+                for l in self.trial_logs
+            ],
         }
         ckpt.save(path, trees, meta)
 
@@ -591,26 +632,48 @@ class MCPilco:
         self.gp_y = np.asarray(trees["gp_y"], np.float32).reshape(self.gp.num_heads, -1)
         self.gp_params = trees["gp_params"]
         self.num_collections = int(meta["num_collections"])
+        self.num_exploration_trials = int(meta.get("num_exploration_trials", 0))
+        noisy = meta.get("trial_noisy") or meta["trial_measured"]
         self.trials = [
             TrialData(
                 measured=np.asarray(m, np.float32),
                 inputs=np.asarray(i, np.float32),
                 true=np.asarray(t, np.float32),
-                noisy=np.asarray(m, np.float32),
+                noisy=np.asarray(n, np.float32),
             )
-            for m, i, t in zip(meta["trial_measured"], meta["trial_inputs"], meta["trial_true"])
-        ]
-        self.trial_logs = [
-            TrialLog(
-                cost_history=np.asarray(c, np.float32),
-                std_history=np.zeros(len(c), np.float32),
-                steps_done=len(c),
-                particles_states=np.zeros(0),
-                particles_inputs=np.zeros(0),
-                reinit_count=0,
-                wall_clock_s=0.0,
+            for m, i, t, n in zip(
+                meta["trial_measured"], meta["trial_inputs"], meta["trial_true"], noisy
             )
-            for c in meta["cost_histories"]
         ]
+        if "num_trial_logs" in meta:
+            n_logs = int(meta["num_trial_logs"])
+            tmpl = {"cost": np.zeros(0), "std": np.zeros(0),
+                    "p_states": np.zeros(0), "p_inputs": np.zeros(0)}
+            log_trees, _ = ckpt.load(path, {f"trial_log_{i}": tmpl for i in range(n_logs)})
+            self.trial_logs = [
+                TrialLog(
+                    cost_history=np.asarray(log_trees[f"trial_log_{i}"]["cost"], np.float32),
+                    std_history=np.asarray(log_trees[f"trial_log_{i}"]["std"], np.float32),
+                    steps_done=int(sc["steps_done"]),
+                    particles_states=np.asarray(log_trees[f"trial_log_{i}"]["p_states"]),
+                    particles_inputs=np.asarray(log_trees[f"trial_log_{i}"]["p_inputs"]),
+                    reinit_count=int(sc["reinit_count"]),
+                    wall_clock_s=float(sc["wall_clock_s"]),
+                )
+                for i, sc in enumerate(meta["trial_log_scalars"])
+            ]
+        else:  # pre-round-3 checkpoint: cost histories only
+            self.trial_logs = [
+                TrialLog(
+                    cost_history=np.asarray(c, np.float32),
+                    std_history=np.zeros(len(c), np.float32),
+                    steps_done=len(c),
+                    particles_states=np.zeros(0),
+                    particles_inputs=np.zeros(0),
+                    reinit_count=0,
+                    wall_clock_s=0.0,
+                )
+                for c in meta["cost_histories"]
+            ]
         # rebuild posterior cache (pretrain_gp analog, MC_PILCO.py:749-751)
         self.posterior = self._build_posterior(self._padded_data())

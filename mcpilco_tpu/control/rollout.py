@@ -160,6 +160,16 @@ class RolloutEngine:
     # norm to carry the max-abs target scale.  None disables (exact parity).
     delta_cap: Optional[float] = None
 
+    def __post_init__(self):
+        if self.delta_cap is not None and not self.gp.normalize_outputs:
+            raise ValueError(
+                "delta_cap is expressed in units of Posterior.norm (the "
+                "max-abs training target); with MultiGP(normalize_outputs="
+                "False) norm is all-ones and the cap would bind at "
+                f"{self.delta_cap} absolute output units, silently distorting "
+                "rollouts. Enable output normalization or disable delta_cap."
+            )
+
     def _cap_delta(self, posterior, mean, var):
         if self.delta_cap is None:
             return mean, var

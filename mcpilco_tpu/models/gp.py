@@ -36,6 +36,23 @@ import optax
 from ..ops import linalg
 from .kernels import Kernel
 
+# A/B switch for the posterior variance operator (round-3 bisect of the
+# round-2 behavioral shift).  Default (False): store the factor F = L^-T and
+# compute quad = sum((k F)^2) — the round-2 form.  Legacy (True): store
+# K^-1 = chol_inverse(L) and compute quad = sum((k K^-1) * k) — the round-1
+# form, matching the reference's cached-K^-1 algebra (GP_prior.py:137-155)
+# bit-pattern-for-bit-pattern.  The two are mathematically identical; only
+# float rounding differs.  Set MCPILCO_LEGACY_VAR=1 (or call
+# use_legacy_variance_op()) at process start, before any trace.
+import os as _os
+
+_LEGACY_VAR = _os.environ.get("MCPILCO_LEGACY_VAR", "0") == "1"
+
+
+def use_legacy_variance_op(enable: bool = True) -> None:
+    global _LEGACY_VAR
+    _LEGACY_VAR = enable
+
 
 def posterior_log_likelihood(y, y_hat, var):
     """Diagonal-Gaussian posterior negative log-likelihood: each sample
@@ -159,11 +176,14 @@ class MultiGP:
         L = linalg.masked_cholesky(K, mask)
         resid = (y / norm - self.kernel.mean(kparams, x)) * mask
         alpha = linalg.chol_solve(L, resid[:, None])[:, 0]
-        # variance factor F = L^-T: K^-1 = F F^T (see Posterior.var_factor)
-        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-        f = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
-        f = f * (mask[:, None] * mask[None, :])
-        return alpha * mask, f
+        if _LEGACY_VAR:
+            op = linalg.chol_inverse(L)  # K^-1 (round-1 / reference form)
+        else:
+            # variance factor F = L^-T: K^-1 = F F^T (see Posterior.var_factor)
+            eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+            op = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
+        op = op * (mask[:, None] * mask[None, :])
+        return alpha * mask, op
 
     def _predict_head(self, kparams, x_tr, mask, alpha, var_factor, norm, x_star):
         # HIGHEST precision is load-bearing: the variance is a difference of
@@ -172,8 +192,11 @@ class MultiGP:
         hp = jax.lax.Precision.HIGHEST
         k_star = self.kernel.gram(kparams, x_star, x_tr) * mask  # [P, M]
         mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
-        kf = jnp.matmul(k_star, var_factor, precision=hp)
-        quad = jnp.sum(kf * kf, axis=-1)
+        if _LEGACY_VAR:
+            quad = jnp.sum(jnp.matmul(k_star, var_factor, precision=hp) * k_star, axis=-1)
+        else:
+            kf = jnp.matmul(k_star, var_factor, precision=hp)
+            quad = jnp.sum(kf * kf, axis=-1)
         diag = self.kernel.diag(kparams, x_star)
         var = diag - quad
         # Floor at jitter * prior-diag instead of 0: near-interpolation the
@@ -320,7 +343,8 @@ class MultiGP:
 
     def _predict_fused(self, params: GPParams, post: Posterior, x_star):
         structure = self._fused_structure()
-        if structure is None or x_star.ndim != 2:
+        if structure is None or x_star.ndim != 2 or _LEGACY_VAR:
+            # the Pallas kernel consumes the FACTOR form of var_factor
             return None
         from ..ops import fused_predict as fp
 
@@ -387,9 +411,12 @@ class MultiGP:
         jit = linalg.adaptive_jitter(sigma_inv, u_mask, rel=self.jitter, floor=self.jitter)
         sigma_inv = sigma_inv + jit * jnp.diag(u_mask)
         L = linalg.masked_cholesky(sigma_inv, u_mask)
-        # factor of Sigma: Sigma = F F^T with F = L^-T (see Posterior)
-        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-        f = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
+        if _LEGACY_VAR:
+            f = linalg.chol_inverse(L)  # Sigma itself (round-1 form)
+        else:
+            # factor of Sigma: Sigma = F F^T with F = L^-T (see Posterior)
+            eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+            f = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
         f = f * (u_mask[:, None] * u_mask[None, :])
         resid = (y / norm - self.kernel.mean(kparams, x)) * mask
         alpha = (1.0 / noise) * linalg.chol_solve(
@@ -537,8 +564,11 @@ class MultiGP:
         hp = jax.lax.Precision.HIGHEST
         k_star = self.kernel.gram(kparams, x_star, u) * sel
         mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
-        kf = jnp.matmul(k_star, factor, precision=hp)
-        var = jnp.sum(kf * kf, axis=-1)
+        if _LEGACY_VAR:
+            var = jnp.sum(jnp.matmul(k_star, factor, precision=hp) * k_star, axis=-1)
+        else:
+            kf = jnp.matmul(k_star, factor, precision=hp)
+            var = jnp.sum(kf * kf, axis=-1)
         var = jnp.maximum(var, self.jitter * self.kernel.diag(kparams, x_star))
         return mean * norm, var * norm * norm
 

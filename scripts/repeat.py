@@ -43,7 +43,9 @@ def run_seed(scenario, seed, extra, platform):
         cmd += ["--platform", platform]
     r = subprocess.run(cmd, capture_output=True, text=True)
     success = "success: True" in r.stdout
-    return seed, success, r.returncode, r.stdout[-500:]
+    # cost parsed from the FULL output — a print after the cost line must not
+    # silently drop the seed's cost from the quartiles
+    return seed, success, r.returncode, _parse_cost(r.stdout)
 
 
 def run_seed_inprocess(scenario, seed, extra, platform):
@@ -77,7 +79,7 @@ def run_seed_inprocess(scenario, seed, extra, platform):
     finally:
         sys.argv = old_argv
     out = buf.getvalue()
-    return seed, "success: True" in out, rc, out[-500:]
+    return seed, "success: True" in out, rc, _parse_cost(out)
 
 
 def run_farm(args):
@@ -157,16 +159,16 @@ def main():
         with cf.ThreadPoolExecutor(args.jobs) as ex:
             futs = [ex.submit(run_seed, args.scenario, s, extra, args.platform) for s in seeds]
             for f in cf.as_completed(futs):
-                seed, ok, rc, tail = f.result()
+                seed, ok, rc, cost = f.result()
                 results[seed] = ok
-                costs[seed] = _parse_cost(tail)
+                costs[seed] = cost
                 print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}")
     else:
         runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
-            seed, ok, rc, tail = runner(args.scenario, s, extra, args.platform)
+            seed, ok, rc, cost = runner(args.scenario, s, extra, args.platform)
             results[seed] = ok
-            costs[seed] = _parse_cost(tail)
+            costs[seed] = cost
             print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}", flush=True)
 
     rate = sum(results.values()) / max(len(results), 1)

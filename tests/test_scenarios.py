@@ -71,6 +71,21 @@ class TestCartpoleIntegration:
         u1 = agent.policy.apply(agent.policy_params, s, 0)
         u2 = agent2.policy.apply(agent2.policy_params, s, 0)
         np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-6)
+        # full TrialLog fidelity: every field of every log survives resume,
+        # so post-resume replay/plotting matches an unbroken run
+        assert len(agent2.trial_logs) == len(agent.trial_logs)
+        for l1, l2 in zip(agent.trial_logs, agent2.trial_logs):
+            np.testing.assert_array_equal(l1.cost_history, l2.cost_history)
+            np.testing.assert_array_equal(l1.std_history, l2.std_history)
+            np.testing.assert_array_equal(l1.particles_states, l2.particles_states)
+            np.testing.assert_array_equal(l1.particles_inputs, l2.particles_inputs)
+            assert l1.steps_done == l2.steps_done
+            assert l1.reinit_count == l2.reinit_count
+            assert l1.wall_clock_s == pytest.approx(l2.wall_clock_s)
+        # TrialData.noisy and the exploration count survive too
+        for t1, t2 in zip(agent.trials, agent2.trials):
+            np.testing.assert_array_equal(t1.noisy, t2.noisy)
+        assert agent2.num_exploration_trials == agent.num_exploration_trials
 
     def test_multi_init_variant_builds(self):
         cfg = dataclasses.replace(cp.CartpoleConfig(seed=1).smoke(), multi_init=True)
