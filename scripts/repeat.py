@@ -18,11 +18,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 SCRIPTS = {
     "cartpole": "train_cartpole.py",
+    "cartpole_multi_init": "train_cartpole.py",
     "cartpole_pms": "train_cartpole_pms.py",
     "cartpole_mujoco": "train_cartpole_mujoco.py",
     "furuta": "train_furuta.py",
     "ur5": "train_ur5.py",
 }
+
+# per-scenario extra CLI flags for the training script
+SCENARIO_FLAGS = {"cartpole_multi_init": ["--multi-init"]}
 
 
 def _parse_cost(out: str):
@@ -38,7 +42,8 @@ def _parse_cost(out: str):
 
 def run_seed(scenario, seed, extra, platform):
     cmd = [sys.executable, "-u", os.path.join(HERE, SCRIPTS[scenario]), "--seed", str(seed),
-           "--log-dir", f"results_tmp/{scenario}_{seed}"] + extra
+           "--log-dir", f"results_tmp/{scenario}_{seed}"] \
+        + SCENARIO_FLAGS.get(scenario, []) + extra
     if platform:
         cmd += ["--platform", platform]
     r = subprocess.run(cmd, capture_output=True, text=True)
@@ -63,7 +68,8 @@ def run_seed_inprocess(scenario, seed, extra, platform):
         sys.path.insert(0, HERE)
     mod = importlib.import_module(SCRIPTS[scenario][:-3])
     argv = [SCRIPTS[scenario], "--seed", str(seed),
-            "--log-dir", f"results_tmp/{scenario}_{seed}"] + extra
+            "--log-dir", f"results_tmp/{scenario}_{seed}"] \
+        + SCENARIO_FLAGS.get(scenario, []) + extra
     if platform:
         argv += ["--platform", platform]
     old_argv, sys.argv = sys.argv, argv
@@ -97,16 +103,25 @@ def run_farm(args):
 
     from mcpilco_tpu.parallel.multiseed import SeedFarm
 
-    if args.scenario == "cartpole":
+    if args.scenario in ("cartpole", "cartpole_multi_init"):
         from mcpilco_tpu.scenarios import cartpole as scen
 
-        make_cfg, success = scen.CartpoleConfig, scen.swingup_success
+        multi = args.scenario == "cartpole_multi_init"
+        make_cfg = lambda seed: scen.CartpoleConfig(seed=seed, multi_init=multi)
+        success = scen.swingup_success
     elif args.scenario == "furuta":
         from mcpilco_tpu.scenarios import furuta as scen
 
         make_cfg, success = scen.FurutaConfig, scen.swingup_success
+    elif args.scenario == "cartpole_pms":
+        from mcpilco_tpu.scenarios import cartpole_pms as scen
+
+        make_cfg, success = scen.CartpolePMSConfig, scen.swingup_success
     else:
-        raise SystemExit("--farm supports the on-device scenarios: cartpole, furuta")
+        raise SystemExit(
+            "--farm supports the on-device scenarios: cartpole, "
+            "cartpole_multi_init, cartpole_pms, furuta"
+        )
     results, costs = {}, {}
     seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
     for lo in range(0, len(seeds), args.farm_batch):
@@ -114,6 +129,10 @@ def run_farm(args):
         cfg = make_cfg(seed=batch[0])
         if args.smoke:
             cfg = cfg.smoke()
+        if args.trials is not None:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, num_trials=args.trials)
         agent, kwargs = scen.build(cfg)
         farm = SeedFarm(
             agent, batch,
@@ -146,9 +165,13 @@ def main():
                    help="train seeds batched on-device (vmapped SeedFarm)")
     p.add_argument("--farm-batch", type=int, default=4,
                    help="seeds per vmapped farm batch (4 is the one-chip sweet spot; larger batches degrade per-seed throughput)")
+    p.add_argument("--trials", type=int, default=None,
+                   help="override the scenario's trial count (e.g. 4PMS 6-trial sweeps)")
     args = p.parse_args()
 
     extra = ["--smoke"] if args.smoke else []
+    if args.trials is not None:
+        extra += ["--trials", str(args.trials)]
     seeds = range(args.first_seed, args.first_seed + args.num_seeds)
     results = {}
     costs = {}
