@@ -159,6 +159,11 @@ class RolloutEngine:
     # the model has no data.  Requires MultiGP(normalize_outputs=True) for
     # norm to carry the max-abs target scale.  None disables (exact parity).
     delta_cap: Optional[float] = None
+    # lax.scan unroll factor for the rollout horizon.  The flagship step is
+    # dominated by per-scan-step fusion overhead (~30 small kernels/step;
+    # profile in RESULTS.md), not FLOPs or HBM; unrolling lets XLA fuse
+    # across consecutive steps at the cost of compile time.  1 = off.
+    scan_unroll: int = 1
 
     def __post_init__(self):
         if self.delta_cap is not None and not self.gp.normalize_outputs:
@@ -217,7 +222,9 @@ class RolloutEngine:
 
         if self.remat:
             step = jax.checkpoint(step)
-        _, (states, inputs) = jax.lax.scan(step, (s0, u0), jnp.arange(1, horizon))
+        _, (states, inputs) = jax.lax.scan(
+            step, (s0, u0), jnp.arange(1, horizon), unroll=self.scan_unroll
+        )
         states = jnp.concatenate([s0[None], states], axis=0)
         inputs = jnp.concatenate([u0[None], inputs], axis=0)
         return RolloutResult(states=states, inputs=inputs)
@@ -268,7 +275,9 @@ class RolloutEngine:
         if self.remat:
             step = jax.checkpoint(step)
         carry0 = (s0, u0, s0, s0[..., vel])
-        _, (states, inputs) = jax.lax.scan(step, carry0, jnp.arange(1, horizon))
+        _, (states, inputs) = jax.lax.scan(
+            step, carry0, jnp.arange(1, horizon), unroll=self.scan_unroll
+        )
         states = jnp.concatenate([s0[None], states], axis=0)
         inputs = jnp.concatenate([u0[None], inputs], axis=0)
         return RolloutResult(states=states, inputs=inputs)

@@ -47,7 +47,16 @@ def main():
     out_dir = args.out or args.log_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    costs = [np.asarray(c) for c in meta["cost_histories"]]
+    if "num_trial_logs" in meta:  # round-3 full-fidelity checkpoints
+        costs = []
+        for i in range(int(meta["num_trial_logs"])):
+            data = np.load(os.path.join(args.log_dir, last, f"trial_log_{i}.npz"))
+            # dict pytree leaves are saved in sorted-key order:
+            # cost, p_inputs, p_states, std
+            steps = int(meta["trial_log_scalars"][i]["steps_done"])
+            costs.append(np.asarray(data["leaf_0"])[:steps])
+    else:  # pre-round-3 checkpoints
+        costs = [np.asarray(c) for c in meta["cost_histories"]]
     trials = [np.asarray(t) for t in meta["trial_measured"]]
     true_trials = [np.asarray(t) for t in meta["trial_true"]]
 

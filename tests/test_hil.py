@@ -24,6 +24,7 @@ def _smoke_agent(tmp_path, seed=1, with_plant=True):
 
 
 class TestExternalTrial:
+    @pytest.mark.slow
     def test_add_external_trial_end_to_end(self, tmp_path):
         """Plant-generated data fed through the EXTERNAL path must train the
         same model as the in-loop collect() path (same offline filtering)."""

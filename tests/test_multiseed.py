@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mcpilco_tpu.parallel import mesh as mesh_mod
 from mcpilco_tpu.parallel.multiseed import SeedFarm
 from mcpilco_tpu.scenarios import cartpole as scen

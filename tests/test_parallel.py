@@ -18,6 +18,7 @@ from mcpilco_tpu.parallel import mesh as mesh_mod
 from mcpilco_tpu.parallel.shard import make_sharded_train_step, sharded_training_round
 
 
+@pytest.mark.slow
 class TestShardedOptimizer:
     """The real PolicyOptimizer.optimize (compiled while_loop: convergence
     monitor, NaN guard, chunking) with particles sharded over the mesh."""
@@ -76,6 +77,7 @@ class TestShardedOptimizer:
         assert np.all(np.isfinite(np.asarray(out.opt.cost_history[:steps])))
 
 
+@pytest.mark.slow
 class TestShardedEndToEnd:
     """Flagship cartpole smoke config trained END TO END through the sharded
     path (explore -> GP fit -> sharded policy opt -> apply), vs no mesh."""
@@ -133,6 +135,7 @@ class TestShardedTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_graft_entry_compiles(self):
         fn, args = graft.entry()

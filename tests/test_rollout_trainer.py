@@ -192,6 +192,7 @@ class TestPolicyOptimizer:
         )
         return opt, gp_params, post, pol_params
 
+    @pytest.mark.slow
     def test_cost_decreases(self):
         opt, gp_params, post, pol_params = self._opt()
         res = opt.optimize(

@@ -23,6 +23,7 @@ def _smoke_agent(tmp_path=None, **replace):
 
 
 class TestCartpoleIntegration:
+    @pytest.mark.slow
     def test_full_smoke_loop(self, tmp_path):
         agent, kwargs = _smoke_agent(tmp_path)
         logs = agent.reinforce(**kwargs, verbose=False)
@@ -45,6 +46,7 @@ class TestCartpoleIntegration:
         c = log.cost_history
         assert c[-1] < c[0] - 1.0, f"no improvement: {c[0]} -> {c[-1]}"
 
+    @pytest.mark.slow
     def test_checkpoint_resume_roundtrip(self, tmp_path):
         agent, kwargs = _smoke_agent(tmp_path)
         agent.reinforce(**kwargs, verbose=False)
@@ -100,6 +102,7 @@ class TestCartpoleIntegration:
         assert agent.sod is None
 
 
+@pytest.mark.slow
 class TestPMSIntegration:
     def test_pms_smoke_loop(self):
         cfg = cpms.CartpolePMSConfig(seed=2).smoke()
@@ -211,6 +214,7 @@ class TestUR5Scenario:
         np.testing.assert_allclose(qd[0], 0.0, atol=1e-9)
 
 
+@pytest.mark.slow
 class TestFurutaScenario:
     def test_smoke_loop_semiparametric(self):
         from mcpilco_tpu.scenarios import furuta

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mcpilco_tpu.models import kernels as K
 from mcpilco_tpu.models import sod as sod_mod
@@ -115,6 +116,7 @@ class TestSOR:
         mean, _ = gp.predict(new_params, post, x)
         assert float(jnp.mean((mean[0] - y[0]) ** 2)) < 5e-3
 
+    @pytest.mark.slow
     def test_sor_config_routes_through_orchestrator(self):
         """MCPilco with SORConfig(refine_epochs>0) runs select -> fit_sor ->
         sor_posterior and records the refinement in fit info."""
