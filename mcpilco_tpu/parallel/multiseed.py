@@ -86,6 +86,9 @@ class SeedFarm:
     seeds: Sequence[int]
     mesh: Optional[object] = None
     policy_init_fn: Optional[Callable] = None
+    # fixed host-chunk size override (profiling/diagnosis; default: scaled
+    # down from the optimizer's chunk_steps by batch size and horizon)
+    chunk_steps_override: Optional[int] = None
 
     def __post_init__(self):
         a = self.agent
@@ -319,7 +322,7 @@ class SeedFarm:
         # as the long-horizon UR5 config before its chunk fix).  The base
         # chunk_steps is tuned for one seed at horizon ~60.
         scale = max(len(self.seeds), 1) * max(opt.horizon, 1)
-        chunk_steps = max(25, 2 * opt.chunk_steps * 60 // scale)
+        chunk_steps = self.chunk_steps_override or max(25, 2 * opt.chunk_steps * 60 // scale)
         end = 0
         while end < num_steps:
             end = min(end + chunk_steps, num_steps)
