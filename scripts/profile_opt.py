@@ -114,6 +114,14 @@ def main():
         "tflops_achieved": round(flops_step_model / s_per_step / 1e12, 2),
     }
     print(json.dumps(report, indent=1))
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", "profile_opt_r3.json",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"[profile] wrote {out_path}")
 
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
