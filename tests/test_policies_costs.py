@@ -181,6 +181,37 @@ class TestCosts:
         c1 = float(jnp.sum(cost.stage_costs(states, None, 1)))
         assert c0 > c1  # tighter lengthscales -> larger cost
 
+    def test_trial_cumulative_cost_resolves_control_ordinal(self):
+        """Per-trial cost schedules index by CONTROL-trial ordinal, so
+        trial_cumulative_cost(-1) after 1 exploration + 2 control trials must
+        evaluate with schedule row 1, not row 2 (advisor r2 finding #1)."""
+        from mcpilco_tpu.scenarios import cartpole as cp
+
+        agent, _ = cp.build(cp.CartpoleConfig(seed=1).smoke())
+        traj = np.zeros((200, 4))
+        ls = np.array([[0.5] * 4, [50.0] * 4])  # wildly different rows
+        agent.cost = C.SaturatedTrajectoryTracking(
+            target_traj=traj, lengthscales=ls, per_trial=True
+        )
+        from mcpilco_tpu.envs.plants import TrialData
+
+        t = TrialData(
+            measured=np.ones((5, 4), np.float32),
+            inputs=np.zeros((5, 1), np.float32),
+            true=np.ones((5, 4), np.float32),
+            noisy=np.ones((5, 4), np.float32),
+        )
+        agent.trials = [t, t, t]  # exploration + control 0 + control 1
+        agent.num_exploration_trials = 1
+        got = agent.trial_cumulative_cost(-1)
+        want_row1 = float(
+            jnp.sum(agent.cost.stage_costs(jnp.asarray(t.true[:, None, :]), None, 1))
+        )
+        want_row0 = float(
+            jnp.sum(agent.cost.stage_costs(jnp.asarray(t.true[:, None, :]), None, 0))
+        )
+        assert abs(got - want_row1) < 1e-6 and abs(got - want_row0) > 1e-3
+
 
 class TestDynamicsModels:
     def test_delta_state_roundtrip(self):

@@ -57,6 +57,20 @@ class TestRollout:
         assert np.isfinite(np.asarray(res.states)).all()
         np.testing.assert_allclose(np.asarray(res.states[0]), np.asarray(s0))
 
+    def test_delta_cap_requires_output_normalization(self):
+        """delta_cap is in Posterior.norm units; without output normalization
+        it would bind in absolute units (advisor r2 finding #2)."""
+        model = DeltaState(state_dim=2, input_dim=1)
+        gp = MultiGP(kernel=K.SEArd(active_dims=(0, 1, 2)), num_heads=2)
+        policy = SumOfGaussians(feature_dim=2, input_dim=1, num_basis=4, u_max=1.0)
+        with pytest.raises(ValueError, match="delta_cap"):
+            RolloutEngine(model=model, gp=gp, policy=policy, delta_cap=3.0)
+        # with normalization on it constructs fine
+        gp_n = MultiGP(
+            kernel=K.SEArd(active_dims=(0, 1, 2)), num_heads=2, normalize_outputs=True
+        )
+        RolloutEngine(model=model, gp=gp_n, policy=policy, delta_cap=3.0)
+
     def test_particles_contract_toward_zero(self):
         # learned dynamics are stable: particle spread should not explode
         engine, gp_params, post, pol_params = _toy_setup()
