@@ -233,6 +233,7 @@ class MultiGP:
         num_epochs: int,
         learning_rate: float = 0.01,
         optimizer: Optional[optax.GradientTransformation] = None,
+        unroll: int = 1,
     ):
         """Train hyperparameters of all heads jointly: one jitted
         ``lax.scan`` of full-batch Adam MLL steps (the reference loops
@@ -272,7 +273,8 @@ class MultiGP:
             return (keep(p_new, p), keep(s_new, s), logged), logged
 
         (params, _, _), losses = jax.lax.scan(
-            step, (params, opt_state, jnp.asarray(jnp.inf, data.x.dtype)), None, length=num_epochs
+            step, (params, opt_state, jnp.asarray(jnp.inf, data.x.dtype)), None,
+            length=num_epochs, unroll=unroll,
         )
         return params, losses
 

@@ -66,6 +66,23 @@ def main():
         }
         print(f"unroll={k}: {results[k]}", flush=True)
 
+    # GP-fit epoch-scan unroll (same overhead argument, secondary headline:
+    # full-training wall-clock)
+    data = agent._padded_data()
+    fit_res = {}
+    for k in (1, 4, 8):
+        params0 = agent.gp.init_params(sigma_n=agent.gp_sigma_n_init,
+                                       per_head_overrides=agent.gp_init_overrides)
+        p, losses = agent.gp.fit(params0, data, num_epochs=1501, unroll=k)  # compile
+        jax.block_until_ready(losses)
+        t0 = time.time()
+        p, losses = agent.gp.fit(params0, data, num_epochs=1501, unroll=k)
+        jax.block_until_ready(losses)
+        fit_res[k] = {"fit_s": round(time.time() - t0, 2),
+                      "mll_last": round(float(losses[-1]), 2)}
+        print(f"fit unroll={k}: {fit_res[k]}", flush=True)
+    results["fit"] = fit_res
+
     out = "results_tmp/bench_unroll.json"
     os.makedirs("results_tmp", exist_ok=True)
     with open(out, "w") as f:
