@@ -80,22 +80,29 @@ def main():
         f"cost {c[0]:.2f} -> {c[steps - 1]:.2f}; reinits={int(res.reinit_count)}"
     )
 
-    # secondary: the TPU hardware RNG (rbg) variant of the same loop
-    prng.use_fast_prng()
-    fast_key = jax.random.PRNGKey(7)
-    res_f = opt.optimize(
-        fast_key, agent.policy_params, agent.gp_params, agent.posterior,
-        num_opt_steps=20, lr0=0.01, p_dropout0=0.25,
-    )
-    jax.block_until_ready(res_f.cost_history)
-    t0 = time.time()
-    res_f = opt.optimize(
-        jax.random.fold_in(fast_key, 1), agent.policy_params, agent.gp_params,
-        agent.posterior, num_opt_steps=n_steps, lr0=0.01, p_dropout0=0.25,
-    )
-    jax.block_until_ready(res_f.cost_history)
-    fast_ms = 1e3 * (time.time() - t0) / max(int(res_f.steps_done), 1)
-    log(f"[bench] hardware-RNG variant: {fast_ms:.2f} ms/step")
+    # secondary: the TPU hardware RNG (rbg) variant of the same loop.
+    # Never allowed to jeopardize the headline (costs one extra compile);
+    # skip with MCPILCO_BENCH_SKIP_FAST_PRNG=1.
+    fast_ms = None
+    if os.environ.get("MCPILCO_BENCH_SKIP_FAST_PRNG", "0") != "1":
+        try:
+            prng.use_fast_prng()
+            fast_key = jax.random.PRNGKey(7)
+            res_f = opt.optimize(
+                fast_key, agent.policy_params, agent.gp_params, agent.posterior,
+                num_opt_steps=20, lr0=0.01, p_dropout0=0.25,
+            )
+            jax.block_until_ready(res_f.cost_history)
+            t0 = time.time()
+            res_f = opt.optimize(
+                jax.random.fold_in(fast_key, 1), agent.policy_params, agent.gp_params,
+                agent.posterior, num_opt_steps=n_steps, lr0=0.01, p_dropout0=0.25,
+            )
+            jax.block_until_ready(res_f.cost_history)
+            fast_ms = 1e3 * (time.time() - t0) / max(int(res_f.steps_done), 1)
+            log(f"[bench] hardware-RNG variant: {fast_ms:.2f} ms/step")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"[bench] hardware-RNG variant skipped: {e}")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     baseline_ms = None
@@ -108,7 +115,7 @@ def main():
         "value": round(ms_per_step, 3),
         "unit": "ms/step",
         "vs_baseline": round(baseline_ms / ms_per_step, 2) if baseline_ms else None,
-        "fast_prng_ms_per_step": round(fast_ms, 3),
+        "fast_prng_ms_per_step": round(fast_ms, 3) if fast_ms else None,
     }
     print(json.dumps(out))
 
