@@ -35,6 +35,7 @@ resets on reduction is equivalent.)
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -108,6 +109,7 @@ class _Carry(NamedTuple):
     dcr: jax.Array
     cost_prev: jax.Array
     reinit_count: jax.Array
+    retry: jax.Array  # consecutive NaN re-samples at the current step
     cost_hist: jax.Array
     std_hist: jax.Array
     states: jax.Array
@@ -145,12 +147,23 @@ class PolicyOptimizer:
     # finite.  Clipping bounds the damage of those spikes; typical healthy
     # norms in the shipped scenarios are O(10).
     grad_clip_norm: float = 100.0
-    # host-driven chunking of the compiled loop (see optimize docstring)
+    # host-driven chunking of the compiled loop (see optimize docstring).
+    # chunk_steps is the FIRST chunk's budget; when chunk_target_s is set,
+    # later chunks adapt to the measured step throughput so each device
+    # execution stays near the target wall time regardless of dataset size,
+    # horizon, or farm batch (tunneled TPU runtimes crash on uninterrupted
+    # executions past ~1 min — measured on UR5 and on a furuta seed farm
+    # whose per-step cost tripled as the dataset grew across trials).
     chunk_steps: int = 500
+    chunk_target_s: float = 15.0
     # return the best-cost iterate instead of the last one: under noisy or
     # clipped gradients late trials can drift upward after converging, and
     # snapshotting the best params makes that drift harmless
     keep_best: bool = True
+    # consecutive fresh-noise re-samples of a NaN rollout before a full
+    # policy re-init, matching the reference's inner retry loop
+    # (MC_PILCO.py:480-501)
+    max_nan_retries: int = 10
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -203,13 +216,23 @@ class PolicyOptimizer:
         num_steps = int(min(int(num_opt_steps), self.max_opt_steps))
         carry = self._optimize_init(key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index)
         end = 0
+        chunk_sz = self.chunk_steps
         while end < num_steps:
-            end = min(end + self.chunk_steps, num_steps)
+            prev_end = end
+            end = min(end + chunk_sz, num_steps)
+            t0 = time.perf_counter()
             carry = self._optimize_chunk(
                 carry, key, gp_params, posterior, jnp.int32(end), trial_index
             )
-            if bool(carry.done):
+            done = bool(carry.done)  # device sync; times the chunk execution
+            if done:
                 break
+            if self.chunk_target_s:
+                # Adapt the next chunk to the measured throughput.  The first
+                # chunk of a new shape includes compile time, which biases the
+                # rate low — the safe direction; the following chunk corrects.
+                rate = (end - prev_end) / max(time.perf_counter() - t0, 1e-6)
+                chunk_sz = max(25, int(self.chunk_target_s * rate))
         return OptResult(
             policy_params=jax.tree_util.tree_map(
                 lambda b, l: jnp.where(jnp.isfinite(carry.best_cost), b, l),
@@ -255,6 +278,7 @@ class PolicyOptimizer:
             dcr=jnp.zeros((), f32),
             cost_prev=cost_prev0,
             reinit_count=jnp.zeros((), jnp.int32),
+            retry=jnp.zeros((), jnp.int32),
             cost_hist=jnp.zeros(self.max_opt_steps, f32),
             std_hist=jnp.zeros(self.max_opt_steps, f32),
             states=st0,
@@ -313,24 +337,23 @@ class PolicyOptimizer:
             )
 
         def body(c: _Carry) -> _Carry:
-            kt = prng.fold(key, c.step, c.reinit_count)
+            # The retry counter is folded into the key via a high-bit offset so
+            # the healthy path (retry = 0) keeps the exact historical key
+            # schedule, while each NaN re-sample draws fresh noise.
+            kt = prng.fold(key, c.step, c.reinit_count + c.retry * (1 << 20))
             (cost, (std, states, inputs)), grads = grad_fn(
                 c.params, gp_params, posterior, kt, c.p_drop, trial_index
             )
-
-            # NaN guard: one resample with fresh noise (MC_PILCO.py:482-501)
-            def retry(_):
-                return grad_fn(
-                    c.params, gp_params, posterior, prng.fold(kt, 0x7E781), c.p_drop, trial_index
-                )
-
-            def keep(_):
-                return (cost, (std, states, inputs)), grads
-
-            (cost, (std, states, inputs)), grads = jax.lax.cond(
-                jnp.isnan(cost), retry, keep, None
-            )
             is_nan = jnp.isnan(cost)
+            # NaN guard: re-sample with fresh noise WITHOUT advancing the opt
+            # step, up to max_nan_retries times (the reference's inner
+            # `while num_attempts < 10 and flg_nan` — MC_PILCO.py:480-501).
+            # Retries consume loop iterations rather than a nested lax.cond
+            # branch: under the seed farm's vmap a cond would execute its
+            # rollout-sized branch EVERY step for every seed (measured 2.7x
+            # per-seed overhead), while a loop iteration only runs when a NaN
+            # actually occurred.
+            retry_now = is_nan & (c.retry < self.max_nan_retries)
 
             # --- Adam step (skipped on NaN)
             new_params, new_adam = adam_update(
@@ -395,13 +418,20 @@ class PolicyOptimizer:
                 es2=es2,
                 dcr=dcr,
                 cost_prev=cost_logged,
+                retry=jnp.zeros((), jnp.int32),
                 cost_hist=c.cost_hist.at[c.step].set(cost_logged),
                 std_hist=c.std_hist.at[c.step].set(jnp.where(is_nan, 0.0, std)),
                 states=jnp.where(is_nan, c.states, states),
                 inputs=jnp.where(is_nan, c.inputs, inputs),
             )
-            # full re-init if even the retry was NaN (MC_PILCO.py:572-607)
-            return jax.lax.cond(is_nan, lambda cc: reinit_all(cc, kt), lambda cc: cc, new_c)
+            # full re-init once the retry budget is exhausted (MC_PILCO.py:572-607)
+            give_up = is_nan & ~retry_now
+            advanced = jax.lax.cond(give_up, lambda cc: reinit_all(cc, kt), lambda cc: cc, new_c)
+            # retry path: identical carry, only the retry counter moves
+            retry_c = c._replace(retry=c.retry + 1)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(retry_now, a, b), retry_c, advanced
+            )
 
         def cond(c: _Carry):
             return (c.step < chunk_end) & ~c.done

@@ -314,24 +314,31 @@ class SeedFarm:
                 in_axes=(0, 0, 0, 0, None, None),
             )),
         )
-        # Per-chunk budget scaled down by batch size AND horizon: a chunk's
-        # device execution grows ~linearly with both, and uninterrupted
-        # executions past ~1 min crash the tunneled TPU runtime (measured
-        # twice: an 8-seed cartpole farm and a 4-seed furuta farm, each with
-        # too-long chunks, died at the first sync — the same failure class
-        # as the long-horizon UR5 config before its chunk fix).  The base
-        # chunk_steps is tuned for one seed at horizon ~60.
+        # Per-chunk budget: sized down for the first chunk (batch and horizon
+        # scale a chunk's device execution ~linearly), then ADAPTED to the
+        # measured throughput so every execution stays near chunk_target_s.
+        # Uninterrupted executions past ~1 min crash the tunneled TPU runtime
+        # (measured three times: an 8-seed cartpole farm, a 4-seed furuta farm
+        # at the first sync, and the same furuta farm at trial 3 after the
+        # growing dataset tripled the per-step cost past a statically-safe
+        # budget — the same failure class as the long-horizon UR5 config).
         scale = max(len(self.seeds), 1) * max(opt.horizon, 1)
         chunk_steps = self.chunk_steps_override or max(25, 2 * opt.chunk_steps * 60 // scale)
         end = 0
         while end < num_steps:
+            prev_end = end
             end = min(end + chunk_steps, num_steps)
+            t0 = time.perf_counter()
             carry = chunk(
                 carry, keys, self.gp_params, self.posterior,
                 jnp.int32(end), jnp.int32(trial_index),
             )
-            if bool(jnp.all(carry.done)):
+            all_done = bool(jnp.all(carry.done))  # sync; times the execution
+            if all_done:
                 break
+            if self.chunk_steps_override is None and opt.chunk_target_s:
+                rate = (end - prev_end) / max(time.perf_counter() - t0, 1e-6)
+                chunk_steps = max(25, int(opt.chunk_target_s * rate))
 
         if opt.keep_best:
             self.policy_params = jax.vmap(

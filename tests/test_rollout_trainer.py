@@ -253,6 +253,23 @@ class TestPolicyOptimizer:
             np.asarray(r1.cost_history)[:30], np.asarray(r2.cost_history)[:30], rtol=1e-5
         )
 
+    def test_adaptive_chunking_matches_static(self):
+        # chunk_target_s resizes chunks from measured throughput; boundaries
+        # must not affect results (the while_loop carry is exact)
+        import dataclasses
+
+        opt, gp_params, post, pol_params = self._opt()
+        opt_static = dataclasses.replace(opt, chunk_target_s=0.0)
+        opt_adapt = dataclasses.replace(opt, chunk_steps=5, chunk_target_s=1e-4)
+        r1 = opt_static.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                                 num_opt_steps=60, lr0=0.02, p_dropout0=0.0)
+        r2 = opt_adapt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                                num_opt_steps=60, lr0=0.02, p_dropout0=0.0)
+        assert int(r1.steps_done) == int(r2.steps_done)
+        np.testing.assert_allclose(
+            np.asarray(r1.cost_history), np.asarray(r2.cost_history), rtol=1e-5
+        )
+
     def test_dropout_active_path(self):
         opt, gp_params, post, pol_params = self._opt(p_drop_reduction=0.125)
         res = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
