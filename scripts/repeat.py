@@ -88,6 +88,10 @@ def run_seed_inprocess(scenario, seed, extra, platform):
     return seed, "success: True" in out, rc, _parse_cost(out)
 
 
+# scenarios whose plant steps on-device (vmappable): farm-able
+FARMABLE = ("cartpole", "cartpole_multi_init", "cartpole_pms", "furuta")
+
+
 def run_farm(args):
     """Vmapped multi-seed training: every seed trains at once in batched
     device programs (parallel/multiseed.SeedFarm), ``--farm-batch`` seeds per
@@ -161,13 +165,20 @@ def main():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--in-process", action="store_true",
                    help="run seeds sequentially in one process (shared jit cache)")
-    p.add_argument("--farm", action="store_true",
-                   help="train seeds batched on-device (vmapped SeedFarm)")
+    p.add_argument("--farm", action=argparse.BooleanOptionalAction, default=None,
+                   help="train seeds batched on-device (vmapped SeedFarm); "
+                        "DEFAULT for the farm-able scenarios (cartpole, "
+                        "cartpole_multi_init, cartpole_pms, furuta) — the "
+                        "batch-4 farm runs below the plain optimizer's "
+                        "ms/seed-step (RESULTS.md); --no-farm opts out")
     p.add_argument("--farm-batch", type=int, default=4,
                    help="seeds per vmapped farm batch (4 is the one-chip sweet spot; larger batches degrade per-seed throughput)")
     p.add_argument("--trials", type=int, default=None,
                    help="override the scenario's trial count (e.g. 4PMS 6-trial sweeps)")
     args = p.parse_args()
+
+    if args.farm is None:
+        args.farm = args.scenario in FARMABLE and not args.in_process and args.jobs == 1
 
     extra = ["--smoke"] if args.smoke else []
     if args.trials is not None:
