@@ -129,6 +129,13 @@ class MultiGP:
     jitter: float = 1e-4
     train_sigma_n: bool = True
     normalize_outputs: bool = False
+    # Compute the rollout-time cross-gram k(x*, X) in chunks of this many
+    # training points.  The gram's [P, chunk, D] difference intermediate is
+    # the dominant VMEM tensor of the particle rollout; bounding it lets
+    # configurations whose full [P, M, D] tensor exceeds VMEM (large farm
+    # batches, big datasets) avoid the spill-to-HBM cliff measured at farm
+    # batch 8 (RESULTS.md).  None = unchunked (optimal at flagship sizes).
+    gram_chunk: Optional[int] = None
 
     # ---------------- parameter init ----------------
 
@@ -185,12 +192,33 @@ class MultiGP:
         op = op * (mask[:, None] * mask[None, :])
         return alpha * mask, op
 
+    def _cross_gram(self, kparams, x_star, x_tr, mask):
+        """k(x*, X) * mask, optionally computed in ``gram_chunk``-sized
+        column blocks via a sequential lax.map so the [P, chunk, D]
+        difference intermediate (not [P, M, D]) bounds the working set."""
+        c = self.gram_chunk
+        M = x_tr.shape[0]
+        if c is None or M <= c or x_star.ndim != 2:
+            return self.kernel.gram(kparams, x_star, x_tr) * mask
+        pad = (-M) % c
+        if pad:
+            x_tr = jnp.concatenate(
+                [x_tr, jnp.zeros((pad,) + x_tr.shape[1:], x_tr.dtype)]
+            )
+            mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+        xc = x_tr.reshape(-1, c, x_tr.shape[-1])
+        mc = mask.reshape(-1, c)
+        ks = jax.lax.map(
+            lambda arg: self.kernel.gram(kparams, x_star, arg[0]) * arg[1], (xc, mc)
+        )  # [n_chunks, P, c]
+        return jnp.moveaxis(ks, 0, 1).reshape(x_star.shape[0], -1)[:, :M]
+
     def _predict_head(self, kparams, x_tr, mask, alpha, var_factor, norm, x_star):
         # HIGHEST precision is load-bearing: the variance is a difference of
         # nearly-equal terms, and the TPU's default bf16 matmuls corrupt it
         # enough to drown the rollout in spurious sampling noise.
         hp = jax.lax.Precision.HIGHEST
-        k_star = self.kernel.gram(kparams, x_star, x_tr) * mask  # [P, M]
+        k_star = self._cross_gram(kparams, x_star, x_tr, mask)  # [P, M]
         mean = self.kernel.mean(kparams, x_star) + jnp.matmul(k_star, alpha, precision=hp)
         if _LEGACY_VAR:
             quad = jnp.sum(jnp.matmul(k_star, var_factor, precision=hp) * k_star, axis=-1)

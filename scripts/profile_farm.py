@@ -27,10 +27,26 @@ def main():
     trace_dir = os.environ.get("FARM_TRACE_DIR")
     print(f"devices: {jax.devices()}", flush=True)
 
+    batches = tuple(
+        int(v) for v in os.environ.get("FARM_S", "1,2,4,8").split(",")
+    )
+    gram_chunk = int(os.environ.get("FARM_GRAM_CHUNK", "0")) or None
+
     out = {}
-    for s_count in (1, 2, 4, 8):
+    for s_count in batches:
         cfg = scen.CartpoleConfig(seed=1)
         agent, _ = scen.build(cfg)
+        if gram_chunk:
+            # bound the rollout gram's [S*P, chunk, D] intermediate (the
+            # VMEM-cliff experiment; MultiGP.gram_chunk)
+            opt = agent.optimizer
+            eng = opt.engine
+            agent.optimizer = dataclasses.replace(
+                opt,
+                engine=dataclasses.replace(
+                    eng, gp=dataclasses.replace(eng.gp, gram_chunk=gram_chunk)
+                ),
+            )
         farm = SeedFarm(
             agent, list(range(1, 1 + s_count)),
             policy_init_fn=lambda k: scen.policy_init(cfg, agent.policy, k),

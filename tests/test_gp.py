@@ -133,6 +133,31 @@ class TestPosteriorPredict:
         mean, var = jax.jit(lambda s: gp.predict(params, post, s))(xs)
         assert mean.shape == (2, 400) and var.shape == (2, 400)
 
+    def test_gram_chunk_matches_unchunked(self):
+        """gram_chunk bounds the [P, chunk, D] VMEM intermediate; values and
+        BPTT gradients must match the unchunked path exactly (same math
+        at the same precision, but chunked dots contract in a different
+        order, so agreement is to f32 reduction-reorder tolerance), including
+        a chunk size that does not divide the padded capacity."""
+        import dataclasses
+
+        data, x, y = _make_dataset()  # n=40 live rows, cap=64
+        gp = MultiGP(kernel=K.se_plus_volterra(active_dims=tuple(range(3)), degree=2), num_heads=2)
+        params = gp.init_params(sigma_n=0.2)
+        post = gp.fit_posterior(params, data)
+        xs = jax.random.normal(jax.random.PRNGKey(5), (37, 3))
+        mean0, var0 = gp.predict(params, post, xs)
+        g0 = jax.grad(lambda s: jnp.sum(gp.predict(params, post, s)[0]))(xs)
+        for chunk in (16, 24):  # 24 does not divide cap=64 -> exercises padding
+            gpc = dataclasses.replace(gp, gram_chunk=chunk)
+            mean1, var1 = gpc.predict(params, post, xs)
+            g1 = jax.grad(lambda s: jnp.sum(gpc.predict(params, post, s)[0]))(xs)
+            np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean1), rtol=2e-5, atol=1e-5)
+            # var = diag - quad is a cancelling difference: reduction
+            # reordering amplifies the relative error (~1e-4 observed)
+            np.testing.assert_allclose(np.asarray(var0), np.asarray(var1), rtol=5e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-5)
+
     def test_posterior_log_likelihood(self):
         """Diagonal-Gaussian posterior NLL (Gaussian_likelihood.py:27-37):
         matches the hand-computed value and is minimized at y_hat = y."""
