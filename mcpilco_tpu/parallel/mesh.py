@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PARTICLE_AXIS = "p"
+SEED_AXIS = "s"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -31,6 +32,34 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (PARTICLE_AXIS,))
+
+
+def make_seed_particle_mesh(
+    n_seed_groups: int, n_particle_shards: int, devices=None
+) -> Mesh:
+    """2D pod mesh: axis ``"s"`` shards whole seeds (independent trainings,
+    zero cross-group communication), axis ``"p"`` shards each seed's particle
+    batch (per-group data parallelism whose cost/gradient psums ride ICI).
+    Adjacent devices land in the same seed group, so the chatty particle
+    collectives stay on the shortest links."""
+    devs = devices if devices is not None else jax.devices()
+    n = n_seed_groups * n_particle_shards
+    return Mesh(
+        np.asarray(devs[:n]).reshape(n_seed_groups, n_particle_shards),
+        (SEED_AXIS, PARTICLE_AXIS),
+    )
+
+
+def seed_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for the seed axis: ``"s"`` on a 2D
+    seed x particle mesh, else the mesh's first axis (the 1D farm case,
+    which historically reuses the ``"p"`` axis name)."""
+    axis = SEED_AXIS if SEED_AXIS in mesh.axis_names else mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_seeds(mesh: Mesh, x: jax.Array) -> jax.Array:
+    return jax.lax.with_sharding_constraint(x, seed_sharding(mesh))
 
 
 def particle_sharding(mesh: Mesh) -> NamedSharding:

@@ -97,14 +97,33 @@ class SeedFarm:
         if a.sor is not None:
             raise ValueError("SOR farm path not implemented; use scripts/repeat.py")
         if a.optimizer.mesh is not None:
+            # Composition is allowed on a shared 2D seed x particle mesh:
+            # the farm shards seeds on axis "s" while the optimizer's
+            # in-rollout constraint shards each seed's particles on "p"
+            # (vmap prepends an unconstrained seed dim to that constraint,
+            # and XLA propagates the joint ("s", "p") layout).
+            m = a.optimizer.mesh
+            if not (
+                m is self.mesh
+                and mesh_mod.SEED_AXIS in m.axis_names
+                and mesh_mod.PARTICLE_AXIS in m.axis_names
+            ):
+                raise ValueError(
+                    "the seed farm composes with particle-axis sharding only "
+                    "on a shared 2D ('s', 'p') mesh "
+                    "(parallel.mesh.make_seed_particle_mesh); a plain "
+                    "particle mesh on the optimizer conflicts with the "
+                    "farm's seed axis"
+                )
+        n_groups = (
+            None
+            if self.mesh is None
+            else self.mesh.shape.get(mesh_mod.SEED_AXIS, self.mesh.devices.size)
+        )
+        if n_groups is not None and len(self.seeds) % n_groups:
             raise ValueError(
-                "particle-axis sharding and the seed farm are mutually "
-                "exclusive (the farm shards the seed axis)"
-            )
-        if self.mesh is not None and len(self.seeds) % self.mesh.devices.size:
-            raise ValueError(
-                f"{len(self.seeds)} seeds do not tile the "
-                f"{self.mesh.devices.size}-device mesh"
+                f"{len(self.seeds)} seeds do not tile the mesh's "
+                f"{n_groups} seed group(s)"
             )
         self.keys = jax.vmap(prng.root_key)(jnp.asarray(list(self.seeds), jnp.uint32))
         init = self.policy_init_fn or (
@@ -142,7 +161,7 @@ class SeedFarm:
         if self.mesh is None:
             return tree
         return jax.tree_util.tree_map(
-            lambda x: mesh_mod.shard_particles(self.mesh, x), tree
+            lambda x: mesh_mod.shard_seeds(self.mesh, x), tree
         )
 
     # ---------------------------------------------------------- data

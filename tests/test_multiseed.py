@@ -122,6 +122,31 @@ class TestSeedFarmSharded:
             log8.cost_history[:, :5], log1.cost_history[:, :5], rtol=5e-3, atol=5e-3
         )
 
+    def test_seed_particle_2d_mesh(self, devices8):
+        """Composed pod sharding: 4 seed groups x 2-way particle sharding on
+        a (4, 2) mesh reproduces the unsharded farm.  The farm constrains
+        the seed axis to "s"; the optimizer's in-rollout particle constraint
+        ("p") is vmapped over seeds and XLA propagates the joint layout."""
+        seeds = [1, 2, 3, 4]
+        res1, _ = _farm(seeds)
+
+        mesh2d = mesh_mod.make_seed_particle_mesh(4, 2)
+        cfg = _cfg()
+        agent, kwargs = scen.build(cfg, mesh=mesh2d)
+        farm = SeedFarm(
+            agent, seeds, mesh=mesh2d,
+            policy_init_fn=lambda k: scen.policy_init(cfg, agent.policy, k),
+        )
+        res2 = farm.run(**kwargs, verbose=False)
+
+        np.testing.assert_allclose(
+            res2.final_true, res1.final_true, rtol=5e-2, atol=5e-2
+        )
+        log1, log2 = res1.trial_logs[-1], res2.trial_logs[-1]
+        np.testing.assert_allclose(
+            log2.cost_history[:, :5], log1.cost_history[:, :5], rtol=5e-3, atol=5e-3
+        )
+
     def test_rejects_bad_configs(self):
         cfg = _cfg()
         agent, _ = scen.build(cfg)
@@ -130,3 +155,8 @@ class TestSeedFarmSharded:
         agent2, _ = scen.build(cfg, mesh=mesh_mod.make_mesh(2))
         with pytest.raises(ValueError):
             SeedFarm(agent2, [1, 2])
+        # a plain 1D particle mesh on the optimizer cannot compose with a
+        # DIFFERENT farm mesh — only the shared 2D ('s', 'p') mesh can
+        agent3, _ = scen.build(cfg, mesh=mesh_mod.make_mesh(2))
+        with pytest.raises(ValueError):
+            SeedFarm(agent3, [1, 2], mesh=mesh_mod.make_mesh(2))
