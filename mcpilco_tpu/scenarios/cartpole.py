@@ -92,10 +92,16 @@ def policy_init(cfg: CartpoleConfig, policy, key):
     scenario root key; pure JAX so the multi-seed farm can vmap it."""
     kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
     k1, k2, k3 = jax.random.split(kc, 3)
-    center_scale = 2.0 if cfg.multi_init else 1.0  # +-2 m cart range (multi_init test :123)
+    # center ranges for [x, xd, thd]: the single-init test uses +-pi on all
+    # three (test_mcpilco_cartpole.py:140); the multi-init test widens to
+    # [+-2, +-2, +-2pi] (test_mcpilco_cartpole_multi_init.py:123)
+    not_angle_scale = (
+        jnp.array([2.0, 2.0, 2.0 * jnp.pi]) if cfg.multi_init
+        else jnp.array([jnp.pi, jnp.pi, jnp.pi])
+    )
     angle_centers = jnp.pi * 2 * (jax.random.uniform(k1, (cfg.num_basis, 1)) - 0.5)
     not_angle_centers = (
-        center_scale * jnp.pi * 2 * (jax.random.uniform(k2, (cfg.num_basis, 3)) - 0.5)
+        not_angle_scale * 2 * (jax.random.uniform(k2, (cfg.num_basis, 3)) - 0.5)
     )
     centers_init = jnp.concatenate(
         [not_angle_centers, jnp.cos(angle_centers), jnp.sin(angle_centers)], axis=1

@@ -99,9 +99,16 @@ def build(cfg: CartpoleMujocoConfig):
     )
     kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
     k1, k2, k3 = jax.random.split(kc, 3)
-    angle_centers = np.pi * 2 * (np.asarray(jax.random.uniform(k1, (cfg.num_basis, 1))) - 0.5)
+    # MuJoCo-specific center ranges (test_mcpilco_cartpole_mujoco.py:130-134):
+    # angles span +-1.5pi and the [x, xd, thd] centers span [+-2, +-2, +-2pi]
+    # — wider than the ODE scenario's uniform +-pi, critically so on thd
+    # (the pole passes |thd| > pi during the catch; centers must cover it)
+    angle_centers = 1.5 * np.pi * 2 * (
+        np.asarray(jax.random.uniform(k1, (cfg.num_basis, 1))) - 0.5
+    )
+    not_angle_scale = np.array([2.0, 2.0, 2.0 * np.pi])
     centers_init = np.concatenate(
-        [np.pi * 2 * (np.asarray(jax.random.uniform(k2, (cfg.num_basis, 3))) - 0.5),
+        [not_angle_scale * 2 * (np.asarray(jax.random.uniform(k2, (cfg.num_basis, 3))) - 0.5),
          np.cos(angle_centers), np.sin(angle_centers)], axis=1,
     )
     weight_init = cfg.u_max * (np.asarray(jax.random.uniform(k3, (1, cfg.num_basis))) - 0.5)
