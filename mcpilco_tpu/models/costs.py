@@ -111,7 +111,11 @@ class SaturatedTrajectoryTracking(CostBase):
 
     def stage_costs(self, states, inputs, trial_index=0):
         T = states.shape[0]
-        traj = jnp.asarray(self.target_traj, states.dtype)[:T]  # [T, ds]
+        traj_full = jnp.asarray(self.target_traj, states.dtype)
+        # Clamp the time index into the target: an EXECUTED trial carries T+1
+        # states (initial sample included), one more than the T-step target —
+        # the trailing sample is scored against the final target state.
+        traj = traj_full[jnp.clip(jnp.arange(T), 0, traj_full.shape[0] - 1)]  # [T, ds]
         ls = jnp.asarray(self.lengthscales, states.dtype)
         if self.per_trial:
             ls = ls[trial_index]

@@ -40,6 +40,16 @@ def _parse_cost(out: str):
     return None
 
 
+def _save_seed_log(scenario, seed, text):
+    """Persist a seed's captured stdout/stderr — without this, a crashed
+    seed's output vanishes with the redirect buffer and the failure is
+    undiagnosable after the sweep."""
+    d = f"results_tmp/{scenario}_{seed}"
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "stdout.log"), "w") as f:
+        f.write(text)
+
+
 def run_seed(scenario, seed, extra, platform):
     cmd = [sys.executable, "-u", os.path.join(HERE, SCRIPTS[scenario]), "--seed", str(seed),
            "--log-dir", f"results_tmp/{scenario}_{seed}"] \
@@ -47,6 +57,7 @@ def run_seed(scenario, seed, extra, platform):
     if platform:
         cmd += ["--platform", platform]
     r = subprocess.run(cmd, capture_output=True, text=True)
+    _save_seed_log(scenario, seed, r.stdout + "\n==== stderr ====\n" + r.stderr)
     success = "success: True" in r.stdout
     # cost parsed from the FULL output — a print after the cost line must not
     # silently drop the seed's cost from the quartiles
@@ -81,10 +92,14 @@ def run_seed_inprocess(scenario, seed, extra, platform):
         rc = int(e.code or 0)
     except Exception as e:  # one crashed seed must not lose the whole sweep
         print(f"[repeat] seed {seed} raised {type(e).__name__}: {e}", file=sys.stderr)
+        import traceback
+
+        buf.write("\n==== exception ====\n" + traceback.format_exc())
         rc = 1
     finally:
         sys.argv = old_argv
     out = buf.getvalue()
+    _save_seed_log(scenario, seed, out)
     return seed, "success: True" in out, rc, _parse_cost(out)
 
 

@@ -45,8 +45,10 @@ def main():
     print(f"\n[train_ur5] total wall-clock {time.time() - t0:.1f}s")
     err = scen.tracking_error_deg(agent)
     print(f"[train_ur5] final-trial per-joint RMS tracking error (deg): {np.round(err, 2)}")
+    print(f"[train_ur5] final-trial cumulative cost: {agent.trial_cumulative_cost():.4f}")
     ok = bool(np.all(err < 10.0))
-    print(f"[train_ur5] tracking success (<10 deg RMS all joints): {ok}")
+    # "success: {bool}" is the line scripts/repeat.py greps for — keep the format
+    print(f"[train_ur5] tracking success: {ok}  (threshold: <10 deg RMS on all joints)")
     return 0 if (ok or args.smoke) else 1
 
 
