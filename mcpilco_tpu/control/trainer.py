@@ -110,6 +110,7 @@ class _Carry(NamedTuple):
     cost_prev: jax.Array
     reinit_count: jax.Array
     retry: jax.Array  # consecutive NaN re-samples at the current step
+    iters: jax.Array  # TOTAL loop iterations (opt steps + NaN retries)
     cost_hist: jax.Array
     std_hist: jax.Array
     states: jax.Array
@@ -156,6 +157,15 @@ class PolicyOptimizer:
     # whose per-step cost tripled as the dataset grew across trials).
     chunk_steps: int = 500
     chunk_target_s: float = 15.0
+    # Hard per-chunk ITERATION budget, as a multiple of the chunk's step
+    # budget.  A NaN-retry storm makes one opt step cost up to
+    # max_nan_retries+1 loop iterations, so a chunk sized for chunk_target_s
+    # of healthy throughput could otherwise run ~11x longer inside a single
+    # uninterrupted device execution — past the tunneled runtime's ~1 min
+    # crash threshold (the UR5 seeds-2/3 failure mode).  When the cap fires
+    # the chunk returns early to the host, which re-measures throughput and
+    # continues; nothing is lost but one extra dispatch.
+    chunk_iter_slack: float = 2.0
     # return the best-cost iterate instead of the last one: under noisy or
     # clipped gradients late trials can drift upward after converging, and
     # snapshotting the best params makes that drift harmless
@@ -215,24 +225,32 @@ class PolicyOptimizer:
         """
         num_steps = int(min(int(num_opt_steps), self.max_opt_steps))
         carry = self._optimize_init(key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index)
-        end = 0
         chunk_sz = self.chunk_steps
-        while end < num_steps:
-            prev_end = end
-            end = min(end + chunk_sz, num_steps)
+        step_now = 0
+        while step_now < num_steps:
+            end = min(step_now + chunk_sz, num_steps)
+            # hard iteration cap: bounds the execution time of a chunk whose
+            # steps degenerate into NaN-retry loops (see chunk_iter_slack)
+            iter_end = carry.iters + jnp.int32(
+                int(self.chunk_iter_slack * (end - step_now)) + 64
+            )
             t0 = time.perf_counter()
             carry = self._optimize_chunk(
-                carry, key, gp_params, posterior, jnp.int32(end), trial_index
+                carry, key, gp_params, posterior, jnp.int32(end), iter_end, trial_index
             )
             done = bool(carry.done)  # device sync; times the chunk execution
             if done:
                 break
+            new_step = int(carry.step)
             if self.chunk_target_s:
-                # Adapt the next chunk to the measured throughput.  The first
-                # chunk of a new shape includes compile time, which biases the
-                # rate low — the safe direction; the following chunk corrects.
-                rate = (end - prev_end) / max(time.perf_counter() - t0, 1e-6)
+                # Adapt the next chunk to the measured throughput (steps
+                # actually ADVANCED, so retry storms shrink the next chunk).
+                # The first chunk of a new shape includes compile time, which
+                # biases the rate low — the safe direction; the following
+                # chunk corrects.
+                rate = max(new_step - step_now, 1) / max(time.perf_counter() - t0, 1e-6)
                 chunk_sz = max(25, int(self.chunk_target_s * rate))
+            step_now = new_step
         return OptResult(
             policy_params=jax.tree_util.tree_map(
                 lambda b, l: jnp.where(jnp.isfinite(carry.best_cost), b, l),
@@ -279,6 +297,7 @@ class PolicyOptimizer:
             cost_prev=cost_prev0,
             reinit_count=jnp.zeros((), jnp.int32),
             retry=jnp.zeros((), jnp.int32),
+            iters=jnp.zeros((), jnp.int32),
             cost_hist=jnp.zeros(self.max_opt_steps, f32),
             std_hist=jnp.zeros(self.max_opt_steps, f32),
             states=st0,
@@ -297,6 +316,7 @@ class PolicyOptimizer:
         gp_params,
         posterior,
         chunk_end: jax.Array,
+        iter_end: jax.Array,
         trial_index: jax.Array,
     ) -> "_Carry":
         """Advance the compiled optimization loop until ``chunk_end`` or exit."""
@@ -419,6 +439,7 @@ class PolicyOptimizer:
                 dcr=dcr,
                 cost_prev=cost_logged,
                 retry=jnp.zeros((), jnp.int32),
+                iters=c.iters + 1,
                 cost_hist=c.cost_hist.at[c.step].set(cost_logged),
                 std_hist=c.std_hist.at[c.step].set(jnp.where(is_nan, 0.0, std)),
                 states=jnp.where(is_nan, c.states, states),
@@ -427,13 +448,13 @@ class PolicyOptimizer:
             # full re-init once the retry budget is exhausted (MC_PILCO.py:572-607)
             give_up = is_nan & ~retry_now
             advanced = jax.lax.cond(give_up, lambda cc: reinit_all(cc, kt), lambda cc: cc, new_c)
-            # retry path: identical carry, only the retry counter moves
-            retry_c = c._replace(retry=c.retry + 1)
+            # retry path: identical carry, only the retry/iteration counters move
+            retry_c = c._replace(retry=c.retry + 1, iters=c.iters + 1)
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(retry_now, a, b), retry_c, advanced
             )
 
         def cond(c: _Carry):
-            return (c.step < chunk_end) & ~c.done
+            return (c.step < chunk_end) & (c.iters < iter_end) & ~c.done
 
         return jax.lax.while_loop(cond, body, carry)

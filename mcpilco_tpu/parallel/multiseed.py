@@ -327,10 +327,10 @@ class SeedFarm:
         chunk = self._cached(
             "opt_chunk",
             lambda: jax.jit(jax.vmap(
-                lambda c, k, gpp, post, end, ti: opt._optimize_chunk(
-                    c, k, gpp, post, end, ti
+                lambda c, k, gpp, post, end, it_end, ti: opt._optimize_chunk(
+                    c, k, gpp, post, end, it_end, ti
                 ),
-                in_axes=(0, 0, 0, 0, None, None),
+                in_axes=(0, 0, 0, 0, None, 0, None),
             )),
         )
         # Per-chunk budget: sized down for the first chunk (batch and horizon
@@ -343,21 +343,30 @@ class SeedFarm:
         # budget — the same failure class as the long-horizon UR5 config).
         scale = max(len(self.seeds), 1) * max(opt.horizon, 1)
         chunk_steps = self.chunk_steps_override or max(25, 2 * opt.chunk_steps * 60 // scale)
-        end = 0
-        while end < num_steps:
-            prev_end = end
-            end = min(end + chunk_steps, num_steps)
+        step_now = 0
+        while step_now < num_steps:
+            end = min(step_now + chunk_steps, num_steps)
+            # per-seed hard iteration cap (trainer.chunk_iter_slack): a seed
+            # stuck in NaN retries stops consuming the whole batch's device
+            # execution once its budget is spent; the chunk then returns to
+            # the host early and throughput is re-measured
+            iter_end = carry.iters + jnp.int32(
+                int(opt.chunk_iter_slack * (end - step_now)) + 64
+            )
             t0 = time.perf_counter()
             carry = chunk(
                 carry, keys, self.gp_params, self.posterior,
-                jnp.int32(end), jnp.int32(trial_index),
+                jnp.int32(end), iter_end, jnp.int32(trial_index),
             )
             all_done = bool(jnp.all(carry.done))  # sync; times the execution
             if all_done:
                 break
+            # progress = the slowest LIVE seed (done seeds no longer advance)
+            new_step = int(jnp.min(jnp.where(carry.done, num_steps, carry.step)))
             if self.chunk_steps_override is None and opt.chunk_target_s:
-                rate = (end - prev_end) / max(time.perf_counter() - t0, 1e-6)
+                rate = max(new_step - step_now, 1) / max(time.perf_counter() - t0, 1e-6)
                 chunk_steps = max(25, int(opt.chunk_target_s * rate))
+            step_now = new_step
 
         if opt.keep_best:
             self.policy_params = jax.vmap(

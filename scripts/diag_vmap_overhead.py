@@ -43,7 +43,7 @@ def main():
                                agent.posterior, 0.01, 0.25, 0)
     chunk = jax.jit(opt._optimize_chunk)
     lowered = chunk.lower(carry, key, agent.gp_params, agent.posterior,
-                          jnp.int32(40), jnp.int32(0))
+                          jnp.int32(40), jnp.int32(1 << 30), jnp.int32(0))
     c_plain = lowered.compile()
     f1, b1 = report("plain S=none", c_plain)
 
@@ -64,7 +64,9 @@ def main():
         ))
         carry_b = init(keys, farm.policy_params, farm.gp_params, farm.posterior)
         vchunk = jax.jit(jax.vmap(
-            lambda c, k, gpp, post: opt._optimize_chunk(c, k, gpp, post, jnp.int32(40), jnp.int32(0)),
+            lambda c, k, gpp, post: opt._optimize_chunk(
+                c, k, gpp, post, jnp.int32(40), jnp.int32(1 << 30), jnp.int32(0)
+            ),
             in_axes=(0, 0, 0, 0),
         ))
         lowered_v = vchunk.lower(carry_b, keys, farm.gp_params, farm.posterior)

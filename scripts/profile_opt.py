@@ -58,14 +58,15 @@ def main():
     # one compiled chunk of `--steps` optimizer iterations
     lowered = type(opt)._optimize_chunk.lower(
         opt, carry, key, agent.gp_params, agent.posterior,
-        jnp.int32(args.steps), jnp.int32(0),
+        jnp.int32(args.steps), jnp.int32(1 << 30), jnp.int32(0),
     )
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
 
     run = lambda c, n: compiled(
-        c, key, agent.gp_params, agent.posterior, jnp.int32(n), jnp.int32(0)
+        c, key, agent.gp_params, agent.posterior, jnp.int32(n),
+        jnp.int32(1 << 30), jnp.int32(0)
     )
     out = run(carry, 20)  # warmup on top of init
     jax.block_until_ready(out.cost_prev)

@@ -270,6 +270,30 @@ class TestPolicyOptimizer:
             np.asarray(r1.cost_history), np.asarray(r2.cost_history), rtol=1e-5
         )
 
+    def test_iteration_cap_splits_without_changing_results(self):
+        # The per-chunk iteration cap bounds each device execution's wall
+        # time under NaN-retry storms (iterations/step can inflate 11x — the
+        # tunnel-crash class on real TPU).  A chunk that hits the cap must
+        # return early, and resuming from its carry must reproduce the
+        # uncapped trajectory exactly.
+        opt, gp_params, post, pol_params = self._opt()
+        key = jax.random.PRNGKey(0)
+        c0 = opt._optimize_init(
+            key, pol_params, gp_params, post,
+            jnp.float32(0.02), jnp.float32(0.0), jnp.int32(0),
+        )
+        big = jnp.int32(1 << 30)
+        full = opt._optimize_chunk(c0, key, gp_params, post, jnp.int32(20), big, jnp.int32(0))
+        part = opt._optimize_chunk(c0, key, gp_params, post, jnp.int32(20), jnp.int32(8), jnp.int32(0))
+        # healthy run: 1 iteration per step, so the cap stops it at step 8
+        assert int(part.step) == 8
+        assert int(part.iters) == 8
+        resumed = opt._optimize_chunk(part, key, gp_params, post, jnp.int32(20), big, jnp.int32(0))
+        assert int(resumed.step) == int(full.step)
+        np.testing.assert_allclose(
+            np.asarray(full.cost_hist), np.asarray(resumed.cost_hist), rtol=1e-6
+        )
+
     def test_dropout_active_path(self):
         opt, gp_params, post, pol_params = self._opt(p_drop_reduction=0.125)
         res = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
