@@ -29,6 +29,23 @@ SCRIPTS = {
 SCENARIO_FLAGS = {"cartpole_multi_init": ["--multi-init"]}
 
 
+# Infrastructure failures (TPU tunnel/worker died, backend never came up) are
+# NOT task outcomes: counting them as failures silently corrupts the success
+# rate (this happened: a UR5 sweep recorded 0/2 that was entirely a crashed
+# tunnel).  Seeds matching these markers are excluded from the denominator and
+# reported separately so they get re-run.
+_INFRA_MARKERS = (
+    "TPU worker process crashed",
+    "Unable to initialize backend",
+    "UNAVAILABLE: TPU backend setup/compile error",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def _is_infra_error(out: str) -> bool:
+    return any(m in out for m in _INFRA_MARKERS)
+
+
 def _parse_cost(out: str):
     """Final-trial cumulative cost, if the script printed one."""
     for line in out.splitlines():
@@ -61,7 +78,8 @@ def run_seed(scenario, seed, extra, platform):
     success = "success: True" in r.stdout
     # cost parsed from the FULL output — a print after the cost line must not
     # silently drop the seed's cost from the quartiles
-    return seed, success, r.returncode, _parse_cost(r.stdout)
+    return seed, success, r.returncode, _parse_cost(r.stdout), \
+        _is_infra_error(r.stdout + r.stderr)
 
 
 def run_seed_inprocess(scenario, seed, extra, platform):
@@ -100,7 +118,7 @@ def run_seed_inprocess(scenario, seed, extra, platform):
         sys.argv = old_argv
     out = buf.getvalue()
     _save_seed_log(scenario, seed, out)
-    return seed, "success: True" in out, rc, _parse_cost(out)
+    return seed, "success: True" in out, rc, _parse_cost(out), _is_infra_error(out)
 
 
 # scenarios whose plant steps on-device (vmappable): farm-able
@@ -201,6 +219,7 @@ def main():
     seeds = range(args.first_seed, args.first_seed + args.num_seeds)
     results = {}
     costs = {}
+    infra = set()
     if args.farm:
         results, costs = run_farm(args)
         seeds = sorted(results)
@@ -208,18 +227,28 @@ def main():
         with cf.ThreadPoolExecutor(args.jobs) as ex:
             futs = [ex.submit(run_seed, args.scenario, s, extra, args.platform) for s in seeds]
             for f in cf.as_completed(futs):
-                seed, ok, rc, cost = f.result()
+                seed, ok, rc, cost, inf = f.result()
                 results[seed] = ok
                 costs[seed] = cost
-                print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}")
+                if inf:
+                    infra.add(seed)
+                print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}"
+                      + (" [INFRA ERROR — excluded]" if inf else ""))
     else:
         runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
-            seed, ok, rc, cost = runner(args.scenario, s, extra, args.platform)
+            seed, ok, rc, cost, inf = runner(args.scenario, s, extra, args.platform)
             results[seed] = ok
             costs[seed] = cost
-            print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}", flush=True)
+            if inf:
+                infra.add(seed)
+            print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}"
+                  + (" [INFRA ERROR — excluded]" if inf else ""), flush=True)
 
+    # infra-errored seeds are not outcomes: drop from the denominator
+    for s in infra:
+        results.pop(s, None)
+        costs.pop(s, None)
     rate = sum(results.values()) / max(len(results), 1)
     known_costs = sorted(c for c in costs.values() if c is not None)
     quartiles = None
@@ -233,7 +262,8 @@ def main():
     summary = {"scenario": args.scenario, "seeds": sorted(results), "success_rate": rate,
                "final_trial_cost_quartiles": quartiles,
                "per_seed": {str(k): bool(v) for k, v in sorted(results.items())},
-               "per_seed_cost": {str(k): costs[k] for k in sorted(costs)}}
+               "per_seed_cost": {str(k): costs[k] for k in sorted(costs)},
+               "infra_error_seeds": sorted(infra)}
     print(json.dumps(summary, indent=1))
     out = f"results_tmp/repeat_{args.scenario}.json"
     os.makedirs("results_tmp", exist_ok=True)

@@ -98,3 +98,27 @@ class TestEndToEndArtifacts:
         )
         assert r.returncode == 0, (r.stdout[-500:], r.stderr[-800:])
         assert "success_rate" in r.stdout
+
+
+class TestRepeatInfraClassification:
+    """Tunnel/backend crashes are infra events, not task outcomes — they must
+    be excluded from the success-rate denominator (a crashed-tunnel sweep once
+    recorded a false 0/2)."""
+
+    def _mod(self):
+        sys.path.insert(0, SCRIPTS)
+        import importlib
+
+        import repeat
+
+        return importlib.reload(repeat)
+
+    def test_markers(self):
+        repeat = self._mod()
+        assert repeat._is_infra_error(
+            "jax.errors.JaxRuntimeError: UNAVAILABLE: TPU worker process "
+            "crashed or restarted.")
+        assert repeat._is_infra_error(
+            "RuntimeError: Unable to initialize backend 'axon'")
+        assert not repeat._is_infra_error("success: False\ncumulative cost: 99.2")
+        assert not repeat._is_infra_error("ValueError: NaN in posterior")
