@@ -285,24 +285,50 @@ class MultiGP:
         def loss_fn(p):
             return self.mll(p, data, norm)
 
+        # Backtracking NaN guard.  If the f32 Cholesky tips over at the new
+        # iterate, the guard must NOT keep those params: freezing at the
+        # first-bad point re-evaluates the same non-finite loss every
+        # remaining epoch and the fit silently stops (observed on MuJoCo
+        # cartpole: trial-0 MLL stuck at -15 instead of -170, cascading into
+        # policy-opt NaN-reinit storms).  Instead revert to the last iterate
+        # whose loss evaluated finite, halve the step scale, and keep going —
+        # the scale recovers ~1.4%/finite epoch, so a single cliff costs ~50
+        # shortened epochs, and a healthy fit (scale pinned at 1.0, updates
+        # multiplied by exactly 1.0) is bit-identical to the unguarded scan.
+        f32 = data.x.dtype
+        recover = jnp.asarray(2.0 ** (1.0 / 50.0), f32)
+
         def step(carry, _):
-            p, s, last_loss = carry
+            p, s, good_p, good_s, lr_scale, last_loss = carry
             loss, g = jax.value_and_grad(loss_fn)(p)
-            finite = jnp.isfinite(loss)
             updates, s_new = tx.update(g, s, p)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
             p_new = optax.apply_updates(p, updates)
-            # NaN guard: if the f32 Cholesky tips over near convergence, keep
-            # the last good hyperparameters instead of poisoning the scan
-            # (the f32/TPU analog of simply never failing in f64).
-            keep = lambda new, old: jax.tree_util.tree_map(
+            # "good" needs loss AND updates finite: a cliff iterate can have a
+            # finite loss with a NaN gradient (plateau past an exp overflow) —
+            # accepting it as last-good would pin the backtrack loop there.
+            finite = jnp.isfinite(loss) & jnp.all(
+                jnp.stack([jnp.all(jnp.isfinite(u))
+                           for u in jax.tree_util.tree_leaves(updates)])
+            )
+            sel = lambda new, old: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(finite, a, b), new, old
             )
-            logged = jnp.where(finite, loss, last_loss)
-            return (keep(p_new, p), keep(s_new, s), logged), logged
+            # finite: advance, current iterate becomes last-good.  non-finite:
+            # backtrack params AND optimizer state to last-good, halve scale.
+            carry_new = (
+                sel(p_new, good_p), sel(s_new, good_s), sel(p, good_p), sel(s, good_s),
+                jnp.where(finite, jnp.minimum(jnp.asarray(1.0, f32), lr_scale * recover),
+                          lr_scale * 0.5),
+                jnp.where(finite, loss, last_loss),
+            )
+            return carry_new, carry_new[-1]
 
-        (params, _, _), losses = jax.lax.scan(
-            step, (params, opt_state, jnp.asarray(jnp.inf, data.x.dtype)), None,
-            length=num_epochs, unroll=unroll,
+        (params, _, _, _, _, _), losses = jax.lax.scan(
+            step,
+            (params, opt_state, params, opt_state, jnp.asarray(1.0, f32),
+             jnp.asarray(jnp.inf, f32)),
+            None, length=num_epochs, unroll=unroll,
         )
         return params, losses
 

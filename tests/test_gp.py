@@ -69,6 +69,53 @@ class TestFit:
         # noise std should shrink toward the true 0.05
         assert float(jnp.exp(new_params.log_sigma_n).max()) < 0.5
 
+    def test_nan_guard_backtracks_instead_of_freezing(self):
+        """A non-finite step must be reverted and retried smaller — the old
+        guard kept the FIRST BAD iterate, so every remaining epoch
+        re-evaluated the same NaN and the fit silently stopped (the MuJoCo
+        shallow-MLL failure signature).  Fault-inject one NaN update mid-fit
+        and require convergence to continue past it."""
+        import optax
+
+        def spike_at(step_idx, size, inner):
+            """Add a huge finite update at one step — the iterate lands past
+            an exp-overflow cliff where the NEXT loss is NaN, exactly the
+            f32 Cholesky cliff shape.  On backtrack the optimizer state
+            (incl. this counter) reverts, so the spike replays at the halved
+            scale and decays away, like a real cliff shrinking under
+            backtracking."""
+
+            def init(params):
+                return (jnp.zeros((), jnp.int32), inner.init(params))
+
+            def update(updates, state, params=None):
+                count, istate = state
+                upd, istate = inner.update(updates, istate, params)
+                upd = jax.tree_util.tree_map(
+                    lambda u: jnp.where(count == step_idx, u + size, u), upd
+                )
+                return upd, (count + 1, istate)
+
+            return optax.GradientTransformation(init, update)
+
+        gp = MultiGP(kernel=K.SEArd(active_dims=(0, 1, 2)), num_heads=2)
+        params = gp.init_params(sigma_n=1.0)
+        data, _, _ = _make_dataset()
+        new_params, losses = gp.fit(
+            params, data, num_epochs=300,
+            optimizer=spike_at(10, 80.0, optax.adam(0.05)),
+        )
+        leaves = jax.tree_util.tree_leaves(new_params)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        # Old guard: the spiked iterate is accepted (its PREVIOUS loss was
+        # finite), the next epoch's loss is NaN, and the scan freezes there —
+        # returned params sit past the cliff (their MLL evaluates NaN) and the
+        # loss history flatlines.  New guard: backtracks, accepts a reduced
+        # step, and keeps descending to the end.
+        final_mll = float(gp.mll(new_params, data, gp.output_norms(data)))
+        assert np.isfinite(final_mll)
+        assert float(losses[-1]) < float(losses[-100]) - 1.0
+
     def test_frozen_params_stay_fixed(self):
         kern = K.SEArd(active_dims=(0, 1, 2), train_outputscale=False)
         gp = MultiGP(kernel=kern, num_heads=2)
