@@ -17,6 +17,10 @@ def main():
     p.add_argument("--trials", type=int, default=None)
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--delta-cap", type=float, default=None,
+                   help="cap per-step rollout deltas at this multiple of the "
+                        "largest training delta (suppresses out-of-support "
+                        "NaN storms of the SE+P(2) kernel; default off)")
     args = p.parse_args()
 
     if args.platform:
@@ -31,7 +35,8 @@ def main():
     from mcpilco_tpu.scenarios import cartpole_mujoco as scen
 
     cfg = scen.CartpoleMujocoConfig(
-        seed=args.seed, log_dir=args.log_dir or f"results_tmp/mj_{args.seed}"
+        seed=args.seed, log_dir=args.log_dir or f"results_tmp/mj_{args.seed}",
+        delta_cap=args.delta_cap,
     )
     if args.smoke:
         cfg = cfg.smoke()
