@@ -120,6 +120,19 @@ class TestPMSIntegration:
 
 
 class TestMujoco:
+    def test_delta_cap_config_wiring(self):
+        """CartpoleMujocoConfig(delta_cap=...) must reach the engine AND flip
+        GP output normalization on (delta_cap is in Posterior.norm units)."""
+        pytest.importorskip("mujoco")
+        from mcpilco_tpu.scenarios import cartpole_mujoco as cmj
+
+        agent, _ = cmj.build(cmj.CartpoleMujocoConfig(seed=1, delta_cap=2.0).smoke())
+        assert agent.optimizer.engine.delta_cap == 2.0
+        assert agent.gp.normalize_outputs
+        agent_off, _ = cmj.build(cmj.CartpoleMujocoConfig(seed=1).smoke())
+        assert agent_off.optimizer.engine.delta_cap is None
+        assert not agent_off.gp.normalize_outputs
+
     def test_cartpole_xml_loads_and_steps(self):
         mujoco = pytest.importorskip("mujoco")
         from mcpilco_tpu.envs.mujoco_plant import ASSETS
