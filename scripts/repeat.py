@@ -57,24 +57,25 @@ def _parse_cost(out: str):
     return None
 
 
-def _save_seed_log(scenario, seed, text):
+def _save_seed_log(scenario, seed, text, tag=""):
     """Persist a seed's captured stdout/stderr — without this, a crashed
     seed's output vanishes with the redirect buffer and the failure is
     undiagnosable after the sweep."""
-    d = f"results_tmp/{scenario}_{seed}"
+    d = f"results_tmp/{scenario}{f'_{tag}' if tag else ''}_{seed}"
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "stdout.log"), "w") as f:
         f.write(text)
 
 
-def run_seed(scenario, seed, extra, platform):
+def run_seed(scenario, seed, extra, platform, tag=""):
+    logdir = f"results_tmp/{scenario}{f'_{tag}' if tag else ''}_{seed}"
     cmd = [sys.executable, "-u", os.path.join(HERE, SCRIPTS[scenario]), "--seed", str(seed),
-           "--log-dir", f"results_tmp/{scenario}_{seed}"] \
+           "--log-dir", logdir] \
         + SCENARIO_FLAGS.get(scenario, []) + extra
     if platform:
         cmd += ["--platform", platform]
     r = subprocess.run(cmd, capture_output=True, text=True)
-    _save_seed_log(scenario, seed, r.stdout + "\n==== stderr ====\n" + r.stderr)
+    _save_seed_log(scenario, seed, r.stdout + "\n==== stderr ====\n" + r.stderr, tag)
     success = "success: True" in r.stdout
     # cost parsed from the FULL output — a print after the cost line must not
     # silently drop the seed's cost from the quartiles
@@ -82,7 +83,7 @@ def run_seed(scenario, seed, extra, platform):
         _is_infra_error(r.stdout + r.stderr)
 
 
-def run_seed_inprocess(scenario, seed, extra, platform):
+def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
     """Run one seed by calling the train script's main() in THIS process.
 
     Sequential seeds then share the in-memory jit cache: the scenario's
@@ -97,7 +98,7 @@ def run_seed_inprocess(scenario, seed, extra, platform):
         sys.path.insert(0, HERE)
     mod = importlib.import_module(SCRIPTS[scenario][:-3])
     argv = [SCRIPTS[scenario], "--seed", str(seed),
-            "--log-dir", f"results_tmp/{scenario}_{seed}"] \
+            "--log-dir", f"results_tmp/{scenario}{f'_{tag}' if tag else ''}_{seed}"] \
         + SCENARIO_FLAGS.get(scenario, []) + extra
     if platform:
         argv += ["--platform", platform]
@@ -117,7 +118,7 @@ def run_seed_inprocess(scenario, seed, extra, platform):
     finally:
         sys.argv = old_argv
     out = buf.getvalue()
-    _save_seed_log(scenario, seed, out)
+    _save_seed_log(scenario, seed, out, tag)
     return seed, "success: True" in out, rc, _parse_cost(out), _is_infra_error(out)
 
 
@@ -208,7 +209,19 @@ def main():
                    help="seeds per vmapped farm batch (4 is the one-chip sweet spot; larger batches degrade per-seed throughput)")
     p.add_argument("--trials", type=int, default=None,
                    help="override the scenario's trial count (e.g. 4PMS 6-trial sweeps)")
+    p.add_argument("--extra-flag", action="append", default=[],
+                   help="extra flag passed through to the training script "
+                        "(repeatable; use --extra-flag=--delta-cap=2.0 form "
+                        "for flags with values). Subprocess/in-process modes "
+                        "only — the farm builds configs directly.")
+    p.add_argument("--out-tag", type=str, default="",
+                   help="suffix for the summary json filename, so A/B arms "
+                        "don't overwrite each other")
     args = p.parse_args()
+
+    if args.extra_flag and (args.farm or (args.farm is None and args.scenario in FARMABLE
+                                          and not args.in_process and args.jobs == 1)):
+        raise SystemExit("--extra-flag requires --no-farm (or a non-farm scenario)")
 
     if args.farm is None:
         args.farm = args.scenario in FARMABLE and not args.in_process and args.jobs == 1
@@ -216,6 +229,8 @@ def main():
     extra = ["--smoke"] if args.smoke else []
     if args.trials is not None:
         extra += ["--trials", str(args.trials)]
+    for flag in args.extra_flag:
+        extra += flag.split("=", 1) if flag.startswith("--") and "=" in flag else [flag]
     seeds = range(args.first_seed, args.first_seed + args.num_seeds)
     results = {}
     costs = {}
@@ -225,7 +240,8 @@ def main():
         seeds = sorted(results)
     elif args.jobs > 1:
         with cf.ThreadPoolExecutor(args.jobs) as ex:
-            futs = [ex.submit(run_seed, args.scenario, s, extra, args.platform) for s in seeds]
+            futs = [ex.submit(run_seed, args.scenario, s, extra, args.platform, args.out_tag)
+                    for s in seeds]
             for f in cf.as_completed(futs):
                 seed, ok, rc, cost, inf = f.result()
                 results[seed] = ok
@@ -237,7 +253,7 @@ def main():
     else:
         runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
-            seed, ok, rc, cost, inf = runner(args.scenario, s, extra, args.platform)
+            seed, ok, rc, cost, inf = runner(args.scenario, s, extra, args.platform, args.out_tag)
             results[seed] = ok
             costs[seed] = cost
             if inf:
@@ -265,7 +281,8 @@ def main():
                "per_seed_cost": {str(k): costs[k] for k in sorted(costs)},
                "infra_error_seeds": sorted(infra)}
     print(json.dumps(summary, indent=1))
-    out = f"results_tmp/repeat_{args.scenario}.json"
+    tag = f"_{args.out_tag}" if args.out_tag else ""
+    out = f"results_tmp/repeat_{args.scenario}{tag}.json"
     os.makedirs("results_tmp", exist_ok=True)
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
