@@ -122,3 +122,33 @@ class TestRepeatInfraClassification:
             "RuntimeError: Unable to initialize backend 'axon'")
         assert not repeat._is_infra_error("success: False\ncumulative cost: 99.2")
         assert not repeat._is_infra_error("ValueError: NaN in posterior")
+
+    def test_parse_cost_uses_full_output(self):
+        """The cost line must be found even with later prints after it
+        (an early version parsed only the last 500 chars of output)."""
+        repeat = self._mod()
+        out = "final-trial cumulative cost: 7.6137\n" + "x" * 2000
+        assert repeat._parse_cost(out) == 7.6137
+        assert repeat._parse_cost("no cost here") is None
+
+    def test_extra_flag_value_splitting(self):
+        """--extra-flag=--delta-cap=2.0 must reach the child argv as the
+        two tokens argparse expects (['--delta-cap', '2.0'])."""
+        flag = "--delta-cap=2.0"
+        toks = flag.split("=", 1) if flag.startswith("--") and "=" in flag else [flag]
+        assert toks == ["--delta-cap", "2.0"]
+
+    def test_tagged_log_dirs_do_not_collide(self):
+        repeat = self._mod()
+        import tempfile, os as _os
+        with tempfile.TemporaryDirectory() as d:
+            cwd = _os.getcwd()
+            try:
+                _os.chdir(d)
+                repeat._save_seed_log("mj", 3, "arm A")
+                repeat._save_seed_log("mj", 3, "arm B", tag="cap2")
+                a = open("results_tmp/mj_3/stdout.log").read()
+                b = open("results_tmp/mj_cap2_3/stdout.log").read()
+                assert (a, b) == ("arm A", "arm B")
+            finally:
+                _os.chdir(cwd)
