@@ -186,8 +186,6 @@ class MCPilco:
         exploration runs with ``exploration=True`` so per-trial cost schedules
         stay aligned with control-trial ordinals.
         """
-        if exploration:
-            self.num_exploration_trials += 1
         measured = np.asarray(measured, np.float32)
         inputs = np.asarray(inputs, np.float32).reshape(-1, self.model.input_dim)
         if measured.ndim != 2 or measured.shape[1] != self.model.state_dim:
@@ -199,6 +197,11 @@ class MCPilco:
                 f"inputs have {inputs.shape[0]} rows but measured states have "
                 f"{measured.shape[0]} — one input per measured sample required"
             )
+        # only count the trial once it is guaranteed to be ingested — a bump
+        # before validation would survive a rejected call and skew every
+        # later control-trial ordinal (per-trial cost schedules)
+        if exploration:
+            self.num_exploration_trials += 1
         if self.offline_filtering:
             pos = self.model.pos_indices
             vel = self.model.vel_indices
@@ -234,13 +237,18 @@ class MCPilco:
         return paths
 
     def load_external_trial(
-        self, trial_index: Optional[int] = None, data_dir: Optional[str] = None
+        self,
+        trial_index: Optional[int] = None,
+        data_dir: Optional[str] = None,
+        exploration: bool = False,
     ) -> TrialData:
         """Ingest one hardware trial from ``<log_dir>/DATA_<trial>/
         {noisy_samples.csv, input_samples.csv}`` — the reference's operator
         protocol (MC_PILCO.py:1032-1054) minus the interactive prompt.
         Shape validation + offline filtering happen in
-        :meth:`add_external_trial`."""
+        :meth:`add_external_trial`.  Pass ``exploration=True`` for the
+        operator's DATA_0 exploration run so control-trial ordinals (per-trial
+        cost schedules) stay aligned, exactly as on the simulated path."""
         if data_dir is None:
             if self.log_dir is None:
                 raise ValueError("load_external_trial needs a data_dir or a log_dir")
@@ -253,7 +261,7 @@ class MCPilco:
                 raise FileNotFoundError(f"expected hardware data file {fp}")
         noisy = np.genfromtxt(noisy_fp, delimiter=",")
         inputs = np.genfromtxt(input_fp, delimiter=",")
-        self.add_external_trial(noisy, inputs)
+        self.add_external_trial(noisy, inputs, exploration=exploration)
         return self.trials[-1]
 
     def _padded_data(self) -> GPData:

@@ -86,11 +86,11 @@ def main():
             jax.block_until_ready(out.step)
         print(f"[vmap S={s_count}] measured chunk: {(time.time() - t0) / 3:.3f}s", flush=True)
 
-    out = c_plain(carry, key, agent.gp_params, agent.posterior, jnp.int32(40), jnp.int32(0))
+    out = c_plain(carry, key, agent.gp_params, agent.posterior, jnp.int32(40), jnp.int32(1 << 30), jnp.int32(0))
     jax.block_until_ready(out.step)
     t0 = time.time()
     for _ in range(3):
-        out = c_plain(carry, key, agent.gp_params, agent.posterior, jnp.int32(40), jnp.int32(0))
+        out = c_plain(carry, key, agent.gp_params, agent.posterior, jnp.int32(40), jnp.int32(1 << 30), jnp.int32(0))
         jax.block_until_ready(out.step)
     print(f"[plain] measured chunk: {(time.time() - t0) / 3:.3f}s", flush=True)
 

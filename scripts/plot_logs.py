@@ -34,11 +34,21 @@ def main():
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
+    # numeric trial order — lexicographic sort puts complete_trial10 before
+    # complete_trial2 and would silently plot a stale checkpoint on 10+ trials
+    def _trial_num(d):
+        tail = d.rsplit("trial", 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
     stages = sorted(
-        d for d in os.listdir(args.log_dir) if d.startswith("complete_trial")
+        (d for d in os.listdir(args.log_dir) if d.startswith("complete_trial")),
+        key=_trial_num,
     )
     if not stages:
-        stages = sorted(d for d in os.listdir(args.log_dir) if d.startswith("policy_trial"))
+        stages = sorted(
+            (d for d in os.listdir(args.log_dir) if d.startswith("policy_trial")),
+            key=_trial_num,
+        )
     if not stages:
         raise SystemExit(f"no checkpoints in {args.log_dir}")
     last = stages[-1]

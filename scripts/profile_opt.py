@@ -117,7 +117,8 @@ def main():
     print(json.dumps(report, indent=1))
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "results", "profile_opt_r3.json",
+        "results",
+        f"profile_opt_{os.environ.get('MCPILCO_ROUND', 'latest')}.json",
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:

@@ -46,6 +46,15 @@ def _is_infra_error(out: str) -> bool:
     return any(m in out for m in _INFRA_MARKERS)
 
 
+def _classify_infra(out: str, success: bool, rc: int) -> bool:
+    """A seed is an infra event only when the run actually DIED on an infra
+    marker.  A run that logged a retried transient (e.g. a recovered
+    DEADLINE_EXCEEDED on the tunneled runtime) but finished with an outcome
+    is a valid protocol sample — dropping it would corrupt the denominator
+    in the opposite direction of the crashed-tunnel 0/2 bug."""
+    return not success and rc != 0 and _is_infra_error(out)
+
+
 def _parse_cost(out: str):
     """Final-trial cumulative cost, if the script printed one."""
     for line in out.splitlines():
@@ -79,8 +88,8 @@ def run_seed(scenario, seed, extra, platform, tag=""):
     success = "success: True" in r.stdout
     # cost parsed from the FULL output — a print after the cost line must not
     # silently drop the seed's cost from the quartiles
-    return seed, success, r.returncode, _parse_cost(r.stdout), \
-        _is_infra_error(r.stdout + r.stderr)
+    infra = _classify_infra(r.stdout + r.stderr, success, r.returncode)
+    return seed, success, r.returncode, _parse_cost(r.stdout), infra
 
 
 def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
@@ -119,7 +128,8 @@ def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
         sys.argv = old_argv
     out = buf.getvalue()
     _save_seed_log(scenario, seed, out, tag)
-    return seed, "success: True" in out, rc, _parse_cost(out), _is_infra_error(out)
+    ok = "success: True" in out
+    return seed, ok, rc, _parse_cost(out), _classify_infra(out, ok, rc)
 
 
 # scenarios whose plant steps on-device (vmappable): farm-able

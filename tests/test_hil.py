@@ -63,6 +63,18 @@ class TestExternalTrial:
         with pytest.raises(ValueError, match="rows"):
             agent.add_external_trial(good_states, np.zeros((7, 1)))
 
+    def test_rejected_trial_does_not_bump_exploration_ordinal(self, tmp_path):
+        """A shape-rejected exploration trial must not skew later control
+        ordinals: the counter bumps only on successful ingestion."""
+        agent, _ = _smoke_agent(tmp_path, with_plant=False)
+        with pytest.raises(ValueError):
+            agent.add_external_trial(np.zeros((10, 3)), np.zeros((10, 1)),
+                                     exploration=True)
+        assert agent.num_exploration_trials == 0
+        agent.add_external_trial(np.zeros((10, 4), np.float32),
+                                 np.zeros((10, 1)), exploration=True)
+        assert agent.num_exploration_trials == 1
+
     def test_load_external_trial_csv_protocol(self, tmp_path):
         """The reference's file layout: log_dir/DATA_<trial>/noisy_samples.csv
         + input_samples.csv (MC_PILCO.py:1032-1054)."""
@@ -79,8 +91,11 @@ class TestExternalTrial:
         os.makedirs(data_dir)
         np.savetxt(os.path.join(data_dir, "noisy_samples.csv"), raw.noisy, delimiter=",")
         np.savetxt(os.path.join(data_dir, "input_samples.csv"), raw.inputs, delimiter=",")
-        loaded = dst.load_external_trial()
+        loaded = dst.load_external_trial(exploration=True)
         assert dst.num_collections == 1
+        # the operator's DATA_0 exploration run must count as exploration so
+        # per-trial cost schedules resolve control ordinals correctly
+        assert dst.num_exploration_trials == 1
         assert loaded.measured.shape[1] == 4
         np.testing.assert_allclose(dst.gp_x, src.gp_x, atol=1e-5)
 

@@ -123,6 +123,20 @@ class TestRepeatInfraClassification:
         assert not repeat._is_infra_error("success: False\ncumulative cost: 99.2")
         assert not repeat._is_infra_error("ValueError: NaN in posterior")
 
+    def test_completed_runs_are_never_infra(self):
+        """A recovered transient (retried DEADLINE_EXCEEDED warning) in a run
+        that finished with an outcome must stay in the denominator."""
+        repeat = self._mod()
+        noisy = "W DEADLINE_EXCEEDED, retrying\nsuccess: True\ncumulative cost: 7.61"
+        assert not repeat._classify_infra(noisy, success=True, rc=0)
+        assert not repeat._classify_infra(
+            "W DEADLINE_EXCEEDED, retrying\nsuccess: False\ncumulative cost: 30.0",
+            success=False, rc=0)
+        # ... but a run that actually died on the marker IS an infra event
+        assert repeat._classify_infra(
+            "JaxRuntimeError: UNAVAILABLE: TPU worker process crashed",
+            success=False, rc=1)
+
     def test_parse_cost_uses_full_output(self):
         """The cost line must be found even with later prints after it
         (an early version parsed only the last 500 chars of output)."""
