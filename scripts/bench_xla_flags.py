@@ -38,6 +38,12 @@ CONFIGS = {
 }
 
 
+def _write(out_path, results):
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "results", "bench_xla_flags_r3.json")
@@ -47,10 +53,16 @@ def main():
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
         env["MCPILCO_BENCH_SKIP_FAST_PRNG"] = "1"
         print(f"[xla-ab] {name}: XLA_FLAGS={env['XLA_FLAGS']!r}", flush=True)
-        r = subprocess.run(
-            [sys.executable, "-u", os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, env=env, timeout=1800, cwd=REPO,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, env=env, timeout=1800, cwd=REPO,
+            )
+        except subprocess.TimeoutExpired as e:
+            results[name] = {"flags": flags, "error": f"timeout after {e.timeout}s"}
+            print(f"[xla-ab] {name}: TIMEOUT", flush=True)
+            _write(out_path, results)
+            continue
         line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         try:
             rec = json.loads(line)
@@ -60,9 +72,8 @@ def main():
         except (json.JSONDecodeError, KeyError):
             results[name] = {"flags": flags, "error": r.stderr[-800:]}
             print(f"[xla-ab] {name}: FAILED rc={r.returncode}", flush=True)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        _write(out_path, results)  # incremental: a later crash keeps earlier arms
+    _write(out_path, results)
     print(json.dumps(results, indent=1))
     print(f"wrote {out_path}")
 
