@@ -289,7 +289,8 @@ def main():
                "final_trial_cost_quartiles": quartiles,
                "per_seed": {str(k): bool(v) for k, v in sorted(results.items())},
                "per_seed_cost": {str(k): costs[k] for k in sorted(costs)},
-               "infra_error_seeds": sorted(infra)}
+               "infra_error_seeds": sorted(infra),
+               "tag": args.out_tag, "extra_flags": args.extra_flag}
     print(json.dumps(summary, indent=1))
     tag = f"_{args.out_tag}" if args.out_tag else ""
     out = f"results_tmp/repeat_{args.scenario}{tag}.json"
