@@ -166,3 +166,48 @@ class TestRepeatInfraClassification:
                 assert (a, b) == ("arm A", "arm B")
             finally:
                 _os.chdir(cwd)
+
+
+class TestSummarizeResults:
+    """summarize_results merges split seed ranges but keeps A/B arms apart."""
+
+    def _mod(self):
+        sys.path.insert(0, SCRIPTS)
+        import importlib
+
+        import summarize_results
+
+        return importlib.reload(summarize_results)
+
+    def test_merge_ranges_and_separate_arms(self, tmp_path):
+        sr = self._mod()
+        import json as _json
+
+        def w(name, rec):
+            p = tmp_path / name
+            p.write_text(_json.dumps(rec))
+            return str(p)
+
+        files = [
+            w("repeat_mj_a.json", {"scenario": "mj", "per_seed": {"1": True},
+                                   "per_seed_cost": {"1": 8.0}}),
+            w("repeat_mj_b.json", {"scenario": "mj",
+                                   "per_seed": {"1": False, "2": True},
+                                   "per_seed_cost": {"1": 30.0, "2": 9.0}}),
+            w("repeat_mj_cap2.json", {"scenario": "mj", "tag": "cap2",
+                                      "extra_flags": ["--delta-cap=2.0"],
+                                      "per_seed": {"1": True},
+                                      "per_seed_cost": {"1": 7.0}}),
+        ]
+        runs = sr.merge(files)
+        assert set(runs) == {("mj", ""), ("mj", "--delta-cap=2.0")}
+        # later file wins the per-seed collision; ranges merge
+        canonical = runs[("mj", "")]
+        assert canonical["per_seed"] == {"1": False, "2": True}
+        # legacy artifacts without the json fields fall back to the
+        # filename marker table
+        legacy = w("repeat_mj_legacyvar.json",
+                   {"scenario": "mj", "per_seed": {"3": True},
+                    "per_seed_cost": {"3": 11.0}})
+        assert sr.arm_label(legacy, _json.loads(open(legacy).read())) \
+            == "MCPILCO_LEGACY_VAR=1"
