@@ -102,6 +102,7 @@ class MCPilco:
         sor: Optional[sod_mod.SODConfig] = None,
         offline_filtering: bool = False,
         offline_filter_cutoff: float = 0.5,
+        offline_filter_method: str = "butter_cd",
         gp_sigma_n_init: float = 1.0,
         gp_init_overrides: Optional[list] = None,
         seed: int = 1,
@@ -130,6 +131,7 @@ class MCPilco:
             raise ValueError("sor config requires MultiGP(approx='sor')")
         self.offline_filtering = offline_filtering
         self.offline_filter_cutoff = offline_filter_cutoff
+        self.offline_filter_method = offline_filter_method
         self.gp_sigma_n_init = gp_sigma_n_init
         self.gp_init_overrides = gp_init_overrides
         self.seed = seed
@@ -206,7 +208,9 @@ class MCPilco:
             pos = self.model.pos_indices
             vel = self.model.vel_indices
             states, inputs = offline_velocity_estimation(
-                measured, inputs, self.dt, pos, vel, filt_cutoff=self.offline_filter_cutoff
+                measured, inputs, self.dt, pos, vel,
+                filt_cutoff=self.offline_filter_cutoff,
+                method=self.offline_filter_method,
             )
         else:
             states = measured
@@ -307,6 +311,7 @@ class MCPilco:
                 self.model.pos_indices,
                 self.model.vel_indices,
                 filt_cutoff=self.offline_filter_cutoff,
+                method=self.offline_filter_method,
             )
             trial = TrialData(
                 measured=states, inputs=inputs, true=trial.true[1:-1], noisy=trial.noisy[1:-1]

@@ -22,6 +22,7 @@ sub-stepping, with the policy evaluated in-graph.  A host-callback variant
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -177,6 +178,53 @@ class PMSODEPlant(ODEPlant):
         )
 
 
+def _savgol_fit_matrix(n: int, window: int, polyorder: int, deriv: int,
+                       delta: float) -> np.ndarray:
+    """[n, n] matrix A such that (A @ y) is the Savitzky-Golay estimate of
+    the ``deriv``-th derivative of the signal y sampled at spacing ``delta``.
+
+    Interior rows are the standard centered least-squares fit; the first/last
+    ``window//2`` rows evaluate the polynomial fitted to the first/last full
+    window at the edge positions (scipy.signal.savgol_filter mode='interp'
+    semantics — unit-tested against scipy). Expressed as one dense matrix so
+    the estimator is a single matmul: jit/vmap-friendly for the seed farm,
+    and numerically identical between the host and device paths.
+    """
+    if window % 2 != 1 or window > n:
+        raise ValueError(f"savgol window must be odd and <= n, got {window} (n={n})")
+    if polyorder >= window:
+        raise ValueError("savgol polyorder must be < window")
+    half = window // 2
+    # d-th derivative evaluation row at offset x for a poly with basis x^j
+    fact = np.array([math.factorial(j) / math.factorial(j - deriv)
+                     if j >= deriv else 0.0 for j in range(polyorder + 1)])
+
+    def eval_row(offsets, x):
+        V = np.vander(np.asarray(offsets, np.float64), polyorder + 1,
+                      increasing=True)  # [w, p+1]
+        beta_from_y = np.linalg.pinv(V)  # [p+1, w]
+        powers = np.array([x ** (j - deriv) if j >= deriv else 0.0
+                           for j in range(polyorder + 1)])
+        return (fact * powers) @ beta_from_y  # [w]
+
+    A = np.zeros((n, n))
+    center = eval_row(np.arange(-half, half + 1), 0.0)
+    for i in range(half, n - half):
+        A[i, i - half:i + half + 1] = center
+    for i in range(half):  # leading edge: poly fit on samples [0, window)
+        A[i, :window] = eval_row(np.arange(window), float(i))
+        # trailing edge: poly fit on samples [n - window, n)
+        j = n - 1 - i
+        A[j, n - window:] = eval_row(np.arange(window), float(window - 1 - i))
+    return A / delta**deriv
+
+
+def _savgol_pos_vel(n: int, dt: float, window: int, polyorder: int):
+    smooth = _savgol_fit_matrix(n, window, polyorder, 0, dt)
+    diff = _savgol_fit_matrix(n, window, polyorder, 1, dt)
+    return smooth, diff
+
+
 def offline_velocity_estimation_jax(
     noisy: jax.Array,
     inputs: jax.Array,
@@ -185,18 +233,38 @@ def offline_velocity_estimation_jax(
     vel_indices,
     filt_order: int = 2,
     filt_cutoff: float = 0.5,
+    method: str = "butter_cd",
+    savgol_window: int = 7,
+    savgol_polyorder: int = 5,
 ):
     """Pure-JAX offline state estimation (MC_PILCO.py:940-962): zero-phase
     Butterworth on positions, central-difference velocities, trim first/last
     samples.  jit/vmap-compatible (the seed farm batches it over seeds);
     the host path below delegates here, so farm and sequential results are
-    bitwise identical modulo batching reassociation."""
-    b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
+    bitwise identical modulo batching reassociation.
+
+    ``method='savgol'`` replaces the butter+central-difference chain with a
+    Savitzky-Golay polynomial fit (positions: deriv-0 smoothing, velocities:
+    deriv-1).  Opt-in, NOT reference semantics: the reference chain
+    systematically attenuates velocity changes at acceleration peaks (~5%
+    at the swing-up band, RESULTS.md "4PMS failure-mode analysis"), and the
+    SavGol differentiator's flat in-band response removes that bias.  The
+    output contract (trim to [1:-1], same shapes) is unchanged.
+    """
     pos_idx = jnp.asarray(tuple(pos_indices), jnp.int32)
     vel_idx = jnp.asarray(tuple(vel_indices), jnp.int32)
     noisy = jnp.asarray(noisy)
-    pos_f = filters.filtfilt(b, a, noisy[:, pos_idx])  # [N, n_pos]
-    vel = (pos_f[2:] - pos_f[:-2]) / (2.0 * dt)  # [N-2, n_pos]
+    if method == "savgol":
+        smooth, diff = _savgol_pos_vel(noisy.shape[0], dt, savgol_window,
+                                       savgol_polyorder)
+        pos_f = jnp.asarray(smooth, noisy.dtype) @ noisy[:, pos_idx]
+        vel = (jnp.asarray(diff, noisy.dtype) @ noisy[:, pos_idx])[1:-1]
+    elif method == "butter_cd":
+        b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
+        pos_f = filters.filtfilt(b, a, noisy[:, pos_idx])  # [N, n_pos]
+        vel = (pos_f[2:] - pos_f[:-2]) / (2.0 * dt)  # [N-2, n_pos]
+    else:
+        raise ValueError(f"unknown offline filter method {method!r}")
     out = jnp.zeros((noisy.shape[0] - 2, noisy.shape[1]), noisy.dtype)
     out = out.at[:, pos_idx].set(pos_f[1:-1])
     out = out.at[:, vel_idx].set(vel)
@@ -211,17 +279,30 @@ def offline_velocity_estimation(
     vel_indices,
     filt_order: int = 2,
     filt_cutoff: float = 0.5,
+    method: str = "butter_cd",
+    savgol_window: int = 7,
+    savgol_polyorder: int = 5,
 ):
     """Offline state estimation for model training (MC_PILCO.py:940-962):
     zero-phase Butterworth on positions, central-difference velocities, then
     trim the first/last samples.  Returns (states, inputs_trimmed).
+    ``method='savgol'`` selects the opt-in Savitzky-Golay estimator (see the
+    JAX analog above for semantics and rationale).
 
     Host path (sequential MCPilco.collect): the central difference runs in
     f64 NumPy, deliberately kept bit-identical to rounds 1-2 — the farm's
     f32 on-device analog above agrees to ~1 ulp (parity-tested)."""
-    b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
     n = noisy.shape[0]
     out = np.zeros((n - 2, noisy.shape[1]))
+    if method == "savgol":
+        smooth, diff = _savgol_pos_vel(n, dt, savgol_window, savgol_polyorder)
+        for p_i, v_i in zip(pos_indices, vel_indices):
+            out[:, p_i] = (smooth @ noisy[:, p_i])[1:-1]
+            out[:, v_i] = (diff @ noisy[:, p_i])[1:-1]
+        return out, inputs[1:-1, :]
+    if method != "butter_cd":
+        raise ValueError(f"unknown offline filter method {method!r}")
+    b, a = filters.butter2(filt_cutoff) if filt_order == 2 else filters.butter1(filt_cutoff)
     for p_i, v_i in zip(pos_indices, vel_indices):
         pos = np.asarray(filters.filtfilt(b, a, jnp.asarray(noisy[:, p_i])))
         vel = (pos[2:] - pos[:-2]) / (2.0 * dt)

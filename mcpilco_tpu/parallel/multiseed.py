@@ -210,6 +210,7 @@ class SeedFarm:
                         noisy, inputs, a.dt,
                         a.model.pos_indices, a.model.vel_indices,
                         filt_cutoff=a.offline_filter_cutoff,
+                        method=getattr(a, "offline_filter_method", "butter_cd"),
                     )
                     x, y = a.model.training_pairs(est, inputs_t)
                     return x, y, states[1:-1], inputs_t

@@ -50,6 +50,12 @@ class CartpolePMSConfig:
     p_dropout: tuple = (0.25,) * 5
     gp_epochs: int = 1501
     bptt_clip: float = 0.2
+    # offline velocity estimator for GP training targets: "butter_cd" is the
+    # reference protocol (MC_PILCO.py:940-962); "savgol" is this framework's
+    # opt-in Savitzky-Golay estimator (window 7, polyorder 5), which on
+    # recorded 4PMS trials cuts theta-dot RMSE vs the true plant ~40% and
+    # raises the peak |delta v| gain from ~0.90 to ~0.96-0.98 (RESULTS.md)
+    vel_est: str = "butter_cd"
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpolePMSConfig":
@@ -129,6 +135,7 @@ def build(cfg: CartpolePMSConfig):
         exploration_policy=exploration, cost=cost, optimizer=optimizer,
         plant=plant, init_dist=init_dist,
         offline_filtering=True, offline_filter_cutoff=0.5,
+        offline_filter_method=cfg.vel_est,
         seed=cfg.seed, log_dir=cfg.log_dir,
         fixed_initial_state=True,  # random_initial_state=False (:191)
     )

@@ -177,10 +177,20 @@ def run_farm(args):
         cfg = make_cfg(seed=batch[0])
         if args.smoke:
             cfg = cfg.smoke()
-        if args.trials is not None:
+        if args.trials is not None or args.scenario_kw:
+            import ast
             import dataclasses as _dc
 
-            cfg = _dc.replace(cfg, num_trials=args.trials)
+            kw = {}
+            for item in args.scenario_kw:
+                k, _, v = item.partition("=")
+                try:
+                    kw[k] = ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    kw[k] = v  # bare strings (e.g. vel_est=savgol)
+            if args.trials is not None:
+                kw["num_trials"] = args.trials
+            cfg = _dc.replace(cfg, **kw)
         agent, kwargs = scen.build(cfg)
         farm = SeedFarm(
             agent, batch,
@@ -224,6 +234,11 @@ def main():
                         "(repeatable; use --extra-flag=--delta-cap=2.0 form "
                         "for flags with values). Subprocess/in-process modes "
                         "only — the farm builds configs directly.")
+    p.add_argument("--scenario-kw", action="append", default=[],
+                   help="farm mode: scenario-config field override as "
+                        "key=value (repeatable; e.g. --scenario-kw "
+                        "vel_est=savgol). Values parse as Python literals, "
+                        "falling back to strings.")
     p.add_argument("--out-tag", type=str, default="",
                    help="suffix for the summary json filename, so A/B arms "
                         "don't overwrite each other")
@@ -235,6 +250,9 @@ def main():
 
     if args.farm is None:
         args.farm = args.scenario in FARMABLE and not args.in_process and args.jobs == 1
+    if args.scenario_kw and not args.farm:
+        raise SystemExit("--scenario-kw is farm-only; sequential runs take "
+                         "script flags via --extra-flag")
 
     extra = ["--smoke"] if args.smoke else []
     if args.trials is not None:
@@ -290,7 +308,8 @@ def main():
                "per_seed": {str(k): bool(v) for k, v in sorted(results.items())},
                "per_seed_cost": {str(k): costs[k] for k in sorted(costs)},
                "infra_error_seeds": sorted(infra),
-               "tag": args.out_tag, "extra_flags": args.extra_flag}
+               "tag": args.out_tag, "extra_flags": args.extra_flag,
+               "scenario_kw": args.scenario_kw}
     print(json.dumps(summary, indent=1))
     tag = f"_{args.out_tag}" if args.out_tag else ""
     out = f"results_tmp/repeat_{args.scenario}{tag}.json"

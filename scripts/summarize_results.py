@@ -32,6 +32,7 @@ AB_ARM_MARKERS = {
 
 def arm_label(path, rec):
     flags = [f for f in rec.get("extra_flags", []) if f != "--smoke"]
+    flags += rec.get("scenario_kw", [])
     if flags:
         return " ".join(flags)
     for marker, label in AB_ARM_MARKERS.items():

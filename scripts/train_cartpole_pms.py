@@ -17,6 +17,11 @@ def main():
     p.add_argument("--trials", type=int, default=None)
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--vel-est", type=str, default="butter_cd",
+                   choices=("butter_cd", "savgol"),
+                   help="offline velocity estimator for GP targets: the "
+                        "reference's butter+central-difference chain, or the "
+                        "opt-in Savitzky-Golay estimator")
     args = p.parse_args()
 
     if args.platform:
@@ -30,7 +35,8 @@ def main():
 
     from mcpilco_tpu.scenarios import cartpole_pms as scen
 
-    cfg = scen.CartpolePMSConfig(seed=args.seed, log_dir=args.log_dir or f"results_tmp/pms_{args.seed}")
+    cfg = scen.CartpolePMSConfig(seed=args.seed, vel_est=args.vel_est,
+                                 log_dir=args.log_dir or f"results_tmp/pms_{args.seed}")
     if args.smoke:
         cfg = cfg.smoke()
     if args.trials is not None:
