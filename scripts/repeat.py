@@ -206,6 +206,7 @@ def run_farm(args):
             results[s] = ok
             costs[s] = round(float(jnp.sum(stage)), 4)
             print(f"[repeat] seed {s}: success={ok} cost={costs[s]}", flush=True)
+        _write_summary(args, results, costs, set(), complete=False)
     return results, costs
 
 
@@ -278,6 +279,7 @@ def main():
                     infra.add(seed)
                 print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}"
                       + (" [INFRA ERROR — excluded]" if inf else ""))
+                _write_summary(args, results, costs, infra, complete=False)
     else:
         runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
@@ -288,11 +290,21 @@ def main():
                 infra.add(seed)
             print(f"[repeat] seed {seed}: success={ok} rc={rc} cost={costs[seed]}"
                   + (" [INFRA ERROR — excluded]" if inf else ""), flush=True)
+            _write_summary(args, results, costs, infra, complete=False)
 
+    summary, out = _write_summary(args, results, costs, infra, complete=True)
+    print(json.dumps(summary, indent=1))
+    print(f"wrote {out}")
+    return 0
+
+
+def _write_summary(args, results, costs, infra, complete):
+    """Build + write the sweep summary. Called after every seed/batch with
+    complete=False so a crash (e.g. the tunneled TPU runtime dying mid-sweep)
+    leaves a readable partial artifact instead of losing the finished seeds."""
     # infra-errored seeds are not outcomes: drop from the denominator
-    for s in infra:
-        results.pop(s, None)
-        costs.pop(s, None)
+    results = {s: v for s, v in results.items() if s not in infra}
+    costs = {s: v for s, v in costs.items() if s not in infra}
     rate = sum(results.values()) / max(len(results), 1)
     known_costs = sorted(c for c in costs.values() if c is not None)
     quartiles = None
@@ -309,15 +321,15 @@ def main():
                "per_seed_cost": {str(k): costs[k] for k in sorted(costs)},
                "infra_error_seeds": sorted(infra),
                "tag": args.out_tag, "extra_flags": args.extra_flag,
-               "scenario_kw": args.scenario_kw}
-    print(json.dumps(summary, indent=1))
+               "scenario_kw": args.scenario_kw, "complete": complete}
     tag = f"_{args.out_tag}" if args.out_tag else ""
     out = f"results_tmp/repeat_{args.scenario}{tag}.json"
     os.makedirs("results_tmp", exist_ok=True)
-    with open(out, "w") as f:
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"wrote {out}")
-    return 0
+    os.replace(tmp, out)
+    return summary, out
 
 
 if __name__ == "__main__":
