@@ -37,9 +37,16 @@ def main():
     from mcpilco_tpu.control.mc_pilco import ModelFitOptions
     from mcpilco_tpu.scenarios import cartpole as scen
 
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    quick = "--quick" in flags  # CPU plumbing check: tiny fit + few steps
+    for f in flags:
+        if f.startswith("--platform="):
+            # env JAX_PLATFORMS does not reliably take effect on this box;
+            # an explicit config update (as tests/conftest.py does) is the
+            # only dependable way to force CPU
+            jax.config.update("jax_platforms", f.split("=", 1)[1])
     log(f"[particles] devices: {jax.devices()}")
-    args = [a for a in sys.argv[1:] if a != "--quick"]
-    quick = "--quick" in sys.argv[1:]  # CPU plumbing check: tiny fit + few steps
     counts = [int(c) for c in (args[0].split(",") if args
                                else ["400", "800", "1600", "3200"])]
 
