@@ -487,6 +487,12 @@ class MCPilco:
             trial_index=trial_index,
         )
         self.policy_params = result.policy_params
+        if result.restart_costs is not None:
+            rc = ", ".join(f"{float(v):.2f}" for v in result.restart_costs)
+            print(
+                f"[mc-pilco] restarts: best costs [{rc}], "
+                f"winner lane {int(result.restart_winner)}"
+            )
         steps = int(result.steps_done)
         log = TrialLog(
             cost_history=np.asarray(result.cost_history)[:steps],

@@ -92,6 +92,10 @@ class OptResult(NamedTuple):
     reinit_count: jax.Array
     final_lr: jax.Array
     final_p_dropout: jax.Array
+    # per-restart best in-model costs ([num_restarts]) when num_restarts > 1,
+    # else None; every other field is already the winning restart's
+    restart_costs: Optional[jax.Array] = None
+    restart_winner: Optional[jax.Array] = None
 
 
 class _Carry(NamedTuple):
@@ -119,6 +123,7 @@ class _Carry(NamedTuple):
     p_dropout0: jax.Array
     best_cost: jax.Array
     best_params: object
+    rid: jax.Array  # restart lane id; 0 on the single-restart path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +179,19 @@ class PolicyOptimizer:
     # policy re-init, matching the reference's inner retry loop
     # (MC_PILCO.py:480-501)
     max_nan_retries: int = 10
+    # Multi-restart policy optimization (beyond-parity; the reference always
+    # optimizes a single policy init).  R > 1 vmaps R independent lanes of
+    # the SAME compiled loop over a leading restart axis: lane 0 starts from
+    # the incoming params with the exact single-restart key schedule (so
+    # R = 1 results are a strict slice of any R), lanes 1..R-1 start from
+    # policy.reinit draws with lane-distinct rollout noise streams; the
+    # winner is the lane with the best in-model cost.
+    # Motivation: the failing MuJoCo/furuta seeds are OPTIMIZATION failures
+    # (the optimizer converges to a no-swing-up local optimum in its own
+    # model — scripts/analyze_mujoco_failures.py), and restarts attack
+    # exactly that.  VMEM note: R multiplies the rollout working set like
+    # the seed farm's batch axis; R <= 4 at flagship sizes (profile_farm_r3).
+    num_restarts: int = 1
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -224,7 +242,25 @@ class PolicyOptimizer:
         per-chunk host cost is a scalar `done` readback.
         """
         num_steps = int(min(int(num_opt_steps), self.max_opt_steps))
-        carry = self._optimize_init(key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index)
+        multi = self.num_restarts > 1
+        if multi:
+            # lane 0 = the incoming params (exact single-restart schedule);
+            # lanes 1..R-1 = fresh reinit draws from a dedicated key stream
+            rkeys = jax.random.split(
+                prng.fold(key, prng.STREAM_RESTARTS), self.num_restarts - 1
+            )
+            inits = [policy_params] + [
+                self.engine.policy.reinit(policy_params, k) for k in rkeys
+            ]
+            params_r = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *inits)
+            carry = self._optimize_init_multi(
+                key, params_r, gp_params, posterior, lr0, p_dropout0, trial_index
+            )
+        else:
+            carry = self._optimize_init(
+                key, policy_params, gp_params, posterior, lr0, p_dropout0,
+                trial_index, jnp.zeros((), jnp.int32),
+            )
         chunk_sz = self.chunk_steps
         step_now = 0
         while step_now < num_steps:
@@ -235,13 +271,14 @@ class PolicyOptimizer:
                 int(self.chunk_iter_slack * (end - step_now)) + 64
             )
             t0 = time.perf_counter()
-            carry = self._optimize_chunk(
+            step_fn = self._optimize_chunk_multi if multi else self._optimize_chunk
+            carry = step_fn(
                 carry, key, gp_params, posterior, jnp.int32(end), iter_end, trial_index
             )
-            done = bool(carry.done)  # device sync; times the chunk execution
+            done = bool(jnp.all(carry.done))  # device sync; times the chunk
             if done:
                 break
-            new_step = int(carry.step)
+            new_step = int(jnp.min(carry.step))
             if self.chunk_target_s:
                 # Adapt the next chunk to the measured throughput (steps
                 # actually ADVANCED, so retry storms shrink the next chunk).
@@ -251,7 +288,15 @@ class PolicyOptimizer:
                 rate = max(new_step - step_now, 1) / max(time.perf_counter() - t0, 1e-6)
                 chunk_sz = max(25, int(self.chunk_target_s * rate))
             step_now = new_step
+        restart_costs = winner = None
+        if multi:
+            metric = carry.best_cost if self.keep_best else carry.cost_prev
+            restart_costs = metric
+            winner = jnp.argmin(jnp.where(jnp.isfinite(metric), metric, jnp.inf))
+            carry = jax.tree_util.tree_map(lambda l: l[winner], carry)
         return OptResult(
+            restart_costs=restart_costs,
+            restart_winner=winner,
             policy_params=jax.tree_util.tree_map(
                 lambda b, l: jnp.where(jnp.isfinite(carry.best_cost), b, l),
                 carry.best_params, carry.params,
@@ -267,8 +312,31 @@ class PolicyOptimizer:
         )
 
     @partial(jax.jit, static_argnums=0)
+    def _optimize_init_multi(
+        self, key, params_r, gp_params, posterior, lr0, p_dropout0, trial_index
+    ) -> "_Carry":
+        """Vmapped `_optimize_init` over a leading restart axis of the params
+        (each lane folds its id into the rollout key stream; lane 0's stream
+        is bit-identical to the single-restart schedule)."""
+        rids = jnp.arange(self.num_restarts, dtype=jnp.int32)
+        return jax.vmap(
+            self._optimize_init, in_axes=(None, 0, None, None, None, None, None, 0)
+        )(key, params_r, gp_params, posterior, lr0, p_dropout0, trial_index, rids)
+
+    @partial(jax.jit, static_argnums=0)
+    def _optimize_chunk_multi(
+        self, carry, key, gp_params, posterior, chunk_end, iter_end, trial_index
+    ) -> "_Carry":
+        """Vmapped `_optimize_chunk`: lanes advance in lockstep iterations;
+        a lane that exits (or hits its iteration cap) freezes while the rest
+        continue — the standard while_loop batching rule."""
+        return jax.vmap(
+            self._optimize_chunk, in_axes=(0, None, None, None, None, 0, None)
+        )(carry, key, gp_params, posterior, chunk_end, iter_end, trial_index)
+
+    @partial(jax.jit, static_argnums=0)
     def _optimize_init(
-        self, key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index
+        self, key, policy_params, gp_params, posterior, lr0, p_dropout0, trial_index, rid
     ) -> "_Carry":
         f32 = jnp.float32
         lr0 = jnp.asarray(lr0, f32)
@@ -306,6 +374,7 @@ class PolicyOptimizer:
             p_dropout0=p_dropout0,
             best_cost=jnp.asarray(jnp.inf, f32),
             best_params=policy_params,
+            rid=jnp.asarray(rid, jnp.int32),
         )
 
     @partial(jax.jit, static_argnums=0)
@@ -359,8 +428,13 @@ class PolicyOptimizer:
         def body(c: _Carry) -> _Carry:
             # The retry counter is folded into the key via a high-bit offset so
             # the healthy path (retry = 0) keeps the exact historical key
-            # schedule, while each NaN re-sample draws fresh noise.
-            kt = prng.fold(key, c.step, c.reinit_count + c.retry * (1 << 20))
+            # schedule, while each NaN re-sample draws fresh noise.  The
+            # restart lane id rides an even higher bit range so that lanes
+            # which reinit at the same step draw DISTINCT fresh params
+            # (rid = 0 always, on the single-restart path: schedule unchanged).
+            kt = prng.fold(
+                key, c.step, c.reinit_count + c.retry * (1 << 20) + c.rid * (1 << 26)
+            )
             (cost, (std, states, inputs)), grads = grad_fn(
                 c.params, gp_params, posterior, kt, c.p_drop, trial_index
             )

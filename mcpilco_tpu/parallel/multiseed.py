@@ -96,6 +96,11 @@ class SeedFarm:
             raise ValueError("SeedFarm needs an on-device (ODE) plant")
         if a.sor is not None:
             raise ValueError("SOR farm path not implemented; use scripts/repeat.py")
+        if a.optimizer.num_restarts > 1:
+            # seeds x restarts would multiply the rollout working set past
+            # the S=4 VMEM cliff (RESULTS.md farm profile); restarts are a
+            # sequential-path feature
+            raise ValueError("SeedFarm requires optimizer.num_restarts == 1")
         if a.optimizer.mesh is not None:
             # Composition is allowed on a shared 2D seed x particle mesh:
             # the farm shards seeds on axis "s" while the optimizer's
@@ -314,7 +319,7 @@ class SeedFarm:
             "opt_init",
             lambda: jax.jit(jax.vmap(
                 lambda k, pp, gpp, post, lr, pd, ti: opt._optimize_init(
-                    k, pp, gpp, post, lr, pd, ti
+                    k, pp, gpp, post, lr, pd, ti, jnp.int32(0)
                 ),
                 in_axes=(0, 0, 0, 0, None, None, None),
             )),

@@ -49,6 +49,12 @@ class CartpoleMujocoConfig:
     # in a 2000-step trial-0 opt).  None = reference-faithful unbounded
     # rollouts.  Requires normalize_outputs on the GP, so it flips that too.
     delta_cap: Optional[float] = None
+    # Multi-restart policy optimization (trainer.PolicyOptimizer.num_restarts):
+    # the round-3 failure analysis (scripts/analyze_mujoco_failures.py) shows
+    # every failing MuJoCo seed converges to a no-swing-up local optimum IN
+    # ITS OWN MODEL (model one-step error is fine), so restarts — not model
+    # fixes — are the matching lever.  1 = reference-faithful single init.
+    num_restarts: int = 1
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpoleMujocoConfig":
@@ -96,6 +102,7 @@ def build(cfg: CartpoleMujocoConfig):
         max_opt_steps=max(cfg.opt_steps),
         alpha_diff_cost=0.99, min_diff_cost=0.08, num_min_diff_cost=200,
         min_step=200.0, lr_min=0.0025, p_drop_reduction=0.125,
+        num_restarts=cfg.num_restarts,
     )
     agent = MCPilco(
         dt=cfg.dt, model=model, gp=gp, policy=policy,

@@ -23,6 +23,7 @@ STREAM_EXPLORATION = 0x5E
 STREAM_MEAS_NOISE = 0x6F
 STREAM_MODEL_FIT = 0x70
 STREAM_SYSTEM = 0x81
+STREAM_RESTARTS = 0x92
 
 
 def use_fast_prng() -> None:

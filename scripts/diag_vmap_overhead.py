@@ -40,7 +40,7 @@ def main():
     # plain chunk (the production single-seed path)
     key = jax.random.PRNGKey(7)
     carry = opt._optimize_init(key, agent.policy_params, agent.gp_params,
-                               agent.posterior, 0.01, 0.25, 0)
+                               agent.posterior, 0.01, 0.25, 0, jnp.int32(0))
     chunk = jax.jit(opt._optimize_chunk)
     lowered = chunk.lower(carry, key, agent.gp_params, agent.posterior,
                           jnp.int32(40), jnp.int32(1 << 30), jnp.int32(0))
@@ -59,7 +59,9 @@ def main():
         farm.fit_model(ModelFitOptions(num_epochs=300))
         keys = farm.keys
         init = jax.jit(jax.vmap(
-            lambda k, pp, gpp, post: opt._optimize_init(k, pp, gpp, post, 0.01, 0.25, 0),
+            lambda k, pp, gpp, post: opt._optimize_init(
+                k, pp, gpp, post, 0.01, 0.25, 0, jnp.int32(0)
+            ),
             in_axes=(0, 0, 0, 0),
         ))
         carry_b = init(keys, farm.policy_params, farm.gp_params, farm.posterior)

@@ -51,7 +51,7 @@ def main():
     key = jax.random.PRNGKey(7)
     carry = opt._optimize_init(
         key, agent.policy_params, agent.gp_params, agent.posterior,
-        jnp.float32(0.01), jnp.float32(0.25), 0,
+        jnp.float32(0.01), jnp.float32(0.25), 0, jnp.int32(0),
     )
     jax.block_until_ready(carry.cost_prev)
 

@@ -21,6 +21,10 @@ def main():
                    help="cap per-step rollout deltas at this multiple of the "
                         "largest training delta (suppresses out-of-support "
                         "NaN storms of the SE+P(2) kernel; default off)")
+    p.add_argument("--num-restarts", type=int, default=1,
+                   help="vmapped policy-init restarts per trial; the winner "
+                        "by in-model cost is kept (default 1 = reference-"
+                        "faithful single init)")
     args = p.parse_args()
 
     if args.platform:
@@ -36,7 +40,7 @@ def main():
 
     cfg = scen.CartpoleMujocoConfig(
         seed=args.seed, log_dir=args.log_dir or f"results_tmp/mj_{args.seed}",
-        delta_cap=args.delta_cap,
+        delta_cap=args.delta_cap, num_restarts=args.num_restarts,
     )
     if args.smoke:
         cfg = cfg.smoke()

@@ -1,0 +1,98 @@
+"""Multi-restart policy optimization (PolicyOptimizer.num_restarts).
+
+Beyond-parity feature: R vmapped policy-init lanes in one compiled loop,
+winner by best in-model cost.  Lane 0 runs the incoming params on the exact
+single-restart key schedule, so R = 1 results are a strict slice of any R.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpilco_tpu.control.rollout import InitialStateDistribution
+from mcpilco_tpu.control.trainer import PolicyOptimizer
+from mcpilco_tpu.models.costs import SaturatedDistance
+
+from test_rollout_trainer import _toy_setup
+
+
+def _opt(max_steps=60, **kw):
+    engine, gp_params, post, pol_params = _toy_setup()
+    cost = SaturatedDistance(target_state=(0.0, 0.0), lengthscales=(1.0, 1.0))
+    init = InitialStateDistribution(kind="gaussian", mean=[0.8, -0.8], var=[0.01, 0.01])
+    opt = PolicyOptimizer(
+        engine=engine, cost=cost, init_dist=init,
+        num_particles=32, horizon=15, max_opt_steps=max_steps,
+        min_step=float("inf"),  # no early exit: lanes advance to max steps
+        **kw,
+    )
+    return opt, gp_params, post, pol_params
+
+
+class TestRestarts:
+    def test_lane0_matches_single_restart(self):
+        """Restart lane 0 preserves the single-restart key schedule exactly:
+        its best in-model cost equals the R=1 run's."""
+        opt1, gp_params, post, pol_params = _opt()
+        opt3 = dataclasses.replace(opt1, num_restarts=3)
+        r1 = opt1.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                           num_opt_steps=40, lr0=0.02, p_dropout0=0.0)
+        r3 = opt3.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                           num_opt_steps=40, lr0=0.02, p_dropout0=0.0)
+        assert r1.restart_costs is None
+        assert r3.restart_costs.shape == (3,)
+        best1 = float(np.min(np.asarray(r1.cost_history)[: int(r1.steps_done)]))
+        np.testing.assert_allclose(float(r3.restart_costs[0]), best1, rtol=1e-6)
+
+    def test_winner_is_argmin_and_histories_consistent(self):
+        opt, gp_params, post, pol_params = _opt()
+        opt = dataclasses.replace(opt, num_restarts=3)
+        r = opt.optimize(jax.random.PRNGKey(1), pol_params, gp_params, post,
+                         num_opt_steps=40, lr0=0.02, p_dropout0=0.0)
+        costs = np.asarray(r.restart_costs)
+        w = int(r.restart_winner)
+        assert w == int(np.argmin(costs))
+        # the returned history is the WINNER's: its min equals the winning cost
+        hist = np.asarray(r.cost_history)[: int(r.steps_done)]
+        np.testing.assert_allclose(float(np.min(hist)), float(costs[w]), rtol=1e-6)
+        # lanes genuinely differ (policy.reinit randomizes + distinct noise)
+        assert len(np.unique(np.round(costs, 5))) > 1
+
+    def test_multi_restart_never_worse_than_single(self):
+        opt1, gp_params, post, pol_params = _opt()
+        opt4 = dataclasses.replace(opt1, num_restarts=4)
+        r1 = opt1.optimize(jax.random.PRNGKey(2), pol_params, gp_params, post,
+                           num_opt_steps=40, lr0=0.02, p_dropout0=0.0)
+        r4 = opt4.optimize(jax.random.PRNGKey(2), pol_params, gp_params, post,
+                           num_opt_steps=40, lr0=0.02, p_dropout0=0.0)
+        best1 = float(np.min(np.asarray(r1.cost_history)[: int(r1.steps_done)]))
+        best4 = float(np.min(np.asarray(r4.restart_costs)))
+        assert best4 <= best1 + 1e-6  # lane 0 IS the single run; min can only improve
+
+    def test_chunked_multi_restart_matches_single_chunk(self):
+        opt, gp_params, post, pol_params = _opt()
+        opt_big = dataclasses.replace(opt, num_restarts=2, chunk_steps=500,
+                                      chunk_target_s=0.0)
+        opt_small = dataclasses.replace(opt, num_restarts=2, chunk_steps=7,
+                                        chunk_target_s=0.0)
+        r1 = opt_big.optimize(jax.random.PRNGKey(3), pol_params, gp_params, post,
+                              num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
+        r2 = opt_small.optimize(jax.random.PRNGKey(3), pol_params, gp_params, post,
+                                num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
+        np.testing.assert_allclose(np.asarray(r1.cost_history)[:25],
+                                   np.asarray(r2.cost_history)[:25], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1.restart_costs),
+                                   np.asarray(r2.restart_costs), rtol=1e-5)
+
+    def test_farm_rejects_restarts(self):
+        from mcpilco_tpu.parallel.multiseed import SeedFarm
+        from mcpilco_tpu.scenarios import cartpole as scen
+
+        cfg = scen.CartpoleConfig(seed=1).smoke()
+        agent, _ = scen.build(cfg)
+        agent.optimizer = dataclasses.replace(agent.optimizer, num_restarts=2)
+        with pytest.raises(ValueError, match="num_restarts"):
+            SeedFarm(agent, [1, 2])

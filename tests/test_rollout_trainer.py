@@ -280,7 +280,7 @@ class TestPolicyOptimizer:
         key = jax.random.PRNGKey(0)
         c0 = opt._optimize_init(
             key, pol_params, gp_params, post,
-            jnp.float32(0.02), jnp.float32(0.0), jnp.int32(0),
+            jnp.float32(0.02), jnp.float32(0.0), jnp.int32(0), jnp.int32(0),
         )
         big = jnp.int32(1 << 30)
         full = opt._optimize_chunk(c0, key, gp_params, post, jnp.int32(20), big, jnp.int32(0))
