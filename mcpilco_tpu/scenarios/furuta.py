@@ -62,6 +62,10 @@ class FurutaConfig:
     opt_steps: tuple = (2000, 4000, 4000, 4000, 4000, 4000)
     gp_epochs: int = 1501
     semiparametric: bool = True
+    # vmapped policy-init restarts per trial (PolicyOptimizer.num_restarts);
+    # the failing furuta seeds are optimization-mode (analyze_mujoco_failures
+    # --scenario furuta), the same lever as MuJoCo.  1 = single init.
+    num_restarts: int = 1
     log_dir: Optional[str] = None
 
     def smoke(self) -> "FurutaConfig":
@@ -137,6 +141,7 @@ def build(cfg: FurutaConfig):
         # UR5-style slow-exit settings, test_mcpilco_ur5_mujoco.py:193-208)
         alpha_diff_cost=0.99, min_diff_cost=0.04, num_min_diff_cost=400,
         min_step=400.0, lr_min=0.001, p_drop_reduction=0.125,
+        num_restarts=cfg.num_restarts,
     )
     agent = MCPilco(
         dt=cfg.dt, model=model, gp=gp, policy=policy,

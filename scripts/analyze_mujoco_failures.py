@@ -1,24 +1,24 @@
 #!/usr/bin/env python
-"""Classify the MuJoCo cartpole failure mode per seed (round-3 protocol ran
-seeds 1-10 at 5/10 success; VERDICT r2 #4 asked for statistics, this asks WHY
-the other half fails).
+"""Classify a scenario's failure mode per seed (round-3; VERDICT r2 #4 asked
+for statistics, this asks WHY the failing fraction fails).
 
 For every seed's final checkpoint this script separates the two candidate
 failure modes:
 
 - OPTIMIZATION failure: the optimizer never found a swing-up even in its own
   model (in-model particle success fraction low, converged in-model cost
-  high).  Fix lever: exploration richness / policy init / opt budget.
+  high).  Fix lever: policy-init restarts (PolicyOptimizer.num_restarts) /
+  exploration richness / opt budget.
 - MODEL-OPTIMISM failure: the policy swings up the learned model but not the
-  MuJoCo plant (in-model success high, executed trial fails).  Fix lever:
-  model capacity / data coverage / rollout stabilizers (delta_cap arm).
+  real plant (in-model success high, executed trial fails).  Fix lever:
+  model capacity / data coverage / rollout stabilizers.
 
 Also reports the one-step prediction RMSE of the final model along the
 EXECUTED final trial (the analyze_pms_bias.py methodology) so model quality
 is measured, not guessed.
 
-Usage: python scripts/analyze_mujoco_failures.py [--root results_tmp]
-       [--seeds 1,2,...] [--platform cpu] [--json out.json]
+Usage: python scripts/analyze_mujoco_failures.py [--scenario mujoco|furuta]
+       [--root results_tmp] [--seeds 1,2,...] [--platform cpu] [--json out.json]
 """
 
 import argparse
@@ -31,22 +31,48 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def tail_upright_fraction(states, angle_idx=1, pos_idx=0):
-    """Fraction of particles satisfying the swing-up oracle over the final
-    quarter of the horizon.  states: [H, P, D] (model rollout particles)."""
+def mujoco_upright_fraction(states):
+    """MuJoCo cartpole oracle per particle: angle idx 1 wrapped to 0 upright,
+    |x| < 0.5, over the final quarter.  states: [H, P, D]."""
     import numpy as np
 
-    h = states.shape[0]
-    tail = states[-(h // 4):]
-    wrapped = np.abs((tail[:, :, angle_idx] + np.pi) % (2 * np.pi) - np.pi)
-    ok = np.all(wrapped < 0.25, axis=0) & np.all(np.abs(tail[:, :, pos_idx]) < 0.5, axis=0)
+    tail = states[-(states.shape[0] // 4):]
+    wrapped = np.abs((tail[:, :, 1] + np.pi) % (2 * np.pi) - np.pi)
+    ok = np.all(wrapped < 0.25, axis=0) & np.all(np.abs(tail[:, :, 0]) < 0.5, axis=0)
     return float(ok.mean())
+
+
+def furuta_upright_fraction(states):
+    """Furuta oracle per particle: |theta_v| (idx 1) within 0.3 of pi."""
+    import numpy as np
+
+    tail = states[-(states.shape[0] // 4):]
+    ok = np.all(np.abs(np.abs(tail[:, :, 1]) - np.pi) < 0.3, axis=0)
+    return float(ok.mean())
+
+
+def _scenarios():
+    from mcpilco_tpu.scenarios import cartpole_mujoco, furuta
+
+    return {
+        "mujoco": dict(
+            mod=cartpole_mujoco, cfg=cartpole_mujoco.CartpoleMujocoConfig,
+            prefix="cartpole_mujoco", upright=mujoco_upright_fraction,
+            heads=("xd", "thd"),
+        ),
+        "furuta": dict(
+            mod=furuta, cfg=furuta.FurutaConfig,
+            prefix="furuta", upright=furuta_upright_fraction,
+            heads=("dth_h", "dth_v"),
+        ),
+    }
 
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--scenario", default="mujoco", choices=("mujoco", "furuta"))
     p.add_argument("--root", default="results_tmp")
-    p.add_argument("--seeds", default=None, help="comma list; default: all cartpole_mujoco_* dirs")
+    p.add_argument("--seeds", default=None, help="comma list; default: all run dirs")
     p.add_argument("--platform", default=None)
     p.add_argument("--json", default=None)
     args = p.parse_args()
@@ -58,26 +84,27 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from mcpilco_tpu.scenarios import cartpole_mujoco as scen
+    spec = _scenarios()[args.scenario]
+    scen, prefix, upright = spec["mod"], spec["prefix"], spec["upright"]
 
     if args.seeds:
         seeds = [int(s) for s in args.seeds.split(",")]
     else:
         seeds = sorted(
             int(m.group(1))
-            for d in glob.glob(os.path.join(args.root, "cartpole_mujoco_*"))
-            if (m := re.fullmatch(r".*cartpole_mujoco_(\d+)", d))
+            for d in glob.glob(os.path.join(args.root, f"{prefix}_*"))
+            if (m := re.fullmatch(rf".*{prefix}_(\d+)", d))
         )
 
     rows = []
     for seed in seeds:
-        run_dir = os.path.join(args.root, f"cartpole_mujoco_{seed}")
+        run_dir = os.path.join(args.root, f"{prefix}_{seed}")
         ckpts = sorted(glob.glob(os.path.join(run_dir, "complete_trial*")))
         if not ckpts:
             print(f"seed {seed}: no checkpoints under {run_dir}, skipping")
             continue
         ckpt = ckpts[-1]
-        agent, _ = scen.build(scen.CartpoleMujocoConfig(seed=seed))
+        agent, _ = scen.build(spec["cfg"](seed=seed))
         agent.load_checkpoint(ckpt)
 
         final = agent.trials[-1]
@@ -88,9 +115,7 @@ def main():
         cost_hist = log.cost_history[: log.steps_done]
         in_model_cost = float(np.mean(cost_hist[-20:])) if len(cost_hist) else float("nan")
         p_states = np.asarray(log.particles_states)
-        in_model_frac = (
-            tail_upright_fraction(p_states) if p_states.ndim == 3 else float("nan")
-        )
+        in_model_frac = upright(p_states) if p_states.ndim == 3 else float("nan")
 
         # one-step model error along the executed trial (true plant states)
         x_true, y_true = agent.model.training_pairs(
@@ -111,22 +136,22 @@ def main():
             mode = "mixed"
         rows.append(
             dict(
+                scenario=args.scenario,
                 seed=seed,
                 executed_cost=round(executed_cost, 3),
                 executed_success=executed_ok,
                 in_model_cost=round(in_model_cost, 3),
                 in_model_upright_frac=round(in_model_frac, 3),
-                onestep_rmse_xdd=round(rmse[0], 4),
-                onestep_rmse_thdd=round(rmse[1], 4),
-                mean_abs_delta_xd=round(scale[0], 4),
-                mean_abs_delta_thd=round(scale[1], 4),
+                onestep_rmse=[round(v, 4) for v in rmse],
+                mean_abs_delta=[round(v, 4) for v in scale],
                 mode=mode,
             )
         )
+        h = spec["heads"]
         print(
             f"seed {seed}: executed cost {executed_cost:7.2f} success={executed_ok} | "
             f"in-model cost {in_model_cost:6.2f} upright-frac {in_model_frac:.2f} | "
-            f"1-step rmse (xd, thd) {rmse[0]:.3f}/{rmse[1]:.3f} "
+            f"1-step rmse ({h[0]}, {h[1]}) {rmse[0]:.3f}/{rmse[1]:.3f} "
             f"(|delta| scale {scale[0]:.2f}/{scale[1]:.2f}) -> {mode}"
         )
 

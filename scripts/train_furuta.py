@@ -19,6 +19,9 @@ def main():
     p.add_argument("--no-semiparametric", action="store_true")
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--num-restarts", type=int, default=1,
+                   help="vmapped policy-init restarts per trial; winner by "
+                        "in-model cost (default 1 = single init)")
     args = p.parse_args()
 
     if args.platform:
@@ -35,6 +38,7 @@ def main():
     cfg = scen.FurutaConfig(
         seed=args.seed,
         semiparametric=not args.no_semiparametric,
+        num_restarts=args.num_restarts,
         log_dir=args.log_dir or f"results_tmp/furuta_{args.seed}",
     )
     if args.smoke:
