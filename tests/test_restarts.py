@@ -18,9 +18,18 @@ from mcpilco_tpu.models.costs import SaturatedDistance
 
 from test_rollout_trainer import _toy_setup
 
+_CACHE = {}
+
+
+def _toy_setup_cached():
+    """One GP fit for the whole module (tests never mutate the params)."""
+    if "setup" not in _CACHE:
+        _CACHE["setup"] = _toy_setup()
+    return _CACHE["setup"]
+
 
 def _opt(max_steps=60, **kw):
-    engine, gp_params, post, pol_params = _toy_setup()
+    engine, gp_params, post, pol_params = _toy_setup_cached()
     cost = SaturatedDistance(target_state=(0.0, 0.0), lengthscales=(1.0, 1.0))
     init = InitialStateDistribution(kind="gaussian", mean=[0.8, -0.8], var=[0.01, 0.01])
     opt = PolicyOptimizer(
@@ -61,6 +70,7 @@ class TestRestarts:
         # lanes genuinely differ (policy.reinit randomizes + distinct noise)
         assert len(np.unique(np.round(costs, 5))) > 1
 
+    @pytest.mark.slow
     def test_multi_restart_never_worse_than_single(self):
         opt1, gp_params, post, pol_params = _opt()
         opt4 = dataclasses.replace(opt1, num_restarts=4)
@@ -72,6 +82,7 @@ class TestRestarts:
         best4 = float(np.min(np.asarray(r4.restart_costs)))
         assert best4 <= best1 + 1e-6  # lane 0 IS the single run; min can only improve
 
+    @pytest.mark.slow
     def test_chunked_multi_restart_matches_single_chunk(self):
         opt, gp_params, post, pol_params = _opt()
         opt_big = dataclasses.replace(opt, num_restarts=2, chunk_steps=500,
