@@ -56,6 +56,11 @@ class CartpolePMSConfig:
     # recorded 4PMS trials cuts theta-dot RMSE vs the true plant ~40% and
     # raises the peak |delta v| gain from ~0.90 to ~0.96-0.98 (RESULTS.md)
     vel_est: str = "butter_cd"
+    # vmapped policy-init restarts per trial (PolicyOptimizer.num_restarts);
+    # 2 of the 3 failing sequential-protocol seeds are optimization-mode —
+    # zero in-model upright particles (analyze_mujoco_failures --scenario
+    # pms, results/analyze_pms_modes_r3.json).  1 = reference single init.
+    num_restarts: int = 1
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpolePMSConfig":
@@ -128,6 +133,7 @@ def build(cfg: CartpolePMSConfig):
         max_opt_steps=max(cfg.opt_steps),
         alpha_diff_cost=0.99, min_diff_cost=0.08, num_min_diff_cost=200,
         min_step=200.0, lr_min=0.0025, p_drop_reduction=0.125,
+        num_restarts=cfg.num_restarts,
     )
 
     agent = MCPilco(

@@ -51,8 +51,20 @@ def furuta_upright_fraction(states):
     return float(ok.mean())
 
 
+def cartpole_upright_fraction(states):
+    """ODE cartpole oracle per particle (incl. 4PMS): |theta| (idx 2) within
+    0.25 of pi, |x| (idx 0) < 0.5, over the final quarter."""
+    import numpy as np
+
+    tail = states[-(states.shape[0] // 4):]
+    ok = np.all(np.abs(np.abs(tail[:, :, 2]) - np.pi) < 0.25, axis=0) & np.all(
+        np.abs(tail[:, :, 0]) < 0.5, axis=0
+    )
+    return float(ok.mean())
+
+
 def _scenarios():
-    from mcpilco_tpu.scenarios import cartpole_mujoco, furuta
+    from mcpilco_tpu.scenarios import cartpole_mujoco, cartpole_pms, furuta
 
     return {
         "mujoco": dict(
@@ -65,12 +77,17 @@ def _scenarios():
             prefix="furuta", upright=furuta_upright_fraction,
             heads=("dth_h", "dth_v"),
         ),
+        "pms": dict(
+            mod=cartpole_pms, cfg=cartpole_pms.CartpolePMSConfig,
+            prefix="cartpole_pms", upright=cartpole_upright_fraction,
+            heads=("xd", "thd"),
+        ),
     }
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--scenario", default="mujoco", choices=("mujoco", "furuta"))
+    p.add_argument("--scenario", default="mujoco", choices=("mujoco", "furuta", "pms"))
     p.add_argument("--root", default="results_tmp")
     p.add_argument("--seeds", default=None, help="comma list; default: all run dirs")
     p.add_argument("--platform", default=None)
@@ -115,6 +132,21 @@ def main():
         cost_hist = log.cost_history[: log.steps_done]
         in_model_cost = float(np.mean(cost_hist[-20:])) if len(cost_hist) else float("nan")
         p_states = np.asarray(log.particles_states)
+        if p_states.ndim != 3:
+            # pre-round-3 checkpoint without particle snapshots: reconstruct
+            # the in-model rollout of the FINAL policy from the restored
+            # posterior (same engine, fresh noise — a consistent estimate of
+            # the optimizer's own predicted closed loop)
+            import jax as _jax
+
+            opt = agent.optimizer
+            k = _jax.random.PRNGKey(0)
+            s0 = opt.init_dist.sample(k, opt.num_particles)
+            sim = opt.engine.simulate(
+                k, agent.policy_params, agent.gp_params, agent.posterior,
+                s0, opt.horizon, p_dropout=0.0,
+            )
+            p_states = np.asarray(sim.states)
         in_model_frac = upright(p_states) if p_states.ndim == 3 else float("nan")
 
         # one-step model error along the executed trial (true plant states)

@@ -22,6 +22,9 @@ def main():
                    help="offline velocity estimator for GP targets: the "
                         "reference's butter+central-difference chain, or the "
                         "opt-in Savitzky-Golay estimator")
+    p.add_argument("--num-restarts", type=int, default=1,
+                   help="vmapped policy-init restarts per trial; winner by "
+                        "in-model cost (default 1 = single init)")
     args = p.parse_args()
 
     if args.platform:
@@ -36,6 +39,7 @@ def main():
     from mcpilco_tpu.scenarios import cartpole_pms as scen
 
     cfg = scen.CartpolePMSConfig(seed=args.seed, vel_est=args.vel_est,
+                                 num_restarts=args.num_restarts,
                                  log_dir=args.log_dir or f"results_tmp/pms_{args.seed}")
     if args.smoke:
         cfg = cfg.smoke()
