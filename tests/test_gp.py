@@ -185,7 +185,9 @@ class TestPosteriorPredict:
         BPTT gradients must match the unchunked path exactly (same math
         at the same precision, but chunked dots contract in a different
         order, so agreement is to f32 reduction-reorder tolerance), including
-        a chunk size that does not divide the padded capacity."""
+        a chunk size that does not divide the padded capacity (the dividing
+        case is a strict subset of the same code path, so only the
+        non-dividing chunk is compiled — this test is compile-dominated)."""
         import dataclasses
 
         data, x, y = _make_dataset()  # n=40 live rows, cap=64
@@ -195,7 +197,7 @@ class TestPosteriorPredict:
         xs = jax.random.normal(jax.random.PRNGKey(5), (37, 3))
         mean0, var0 = gp.predict(params, post, xs)
         g0 = jax.grad(lambda s: jnp.sum(gp.predict(params, post, s)[0]))(xs)
-        for chunk in (16, 24):  # 24 does not divide cap=64 -> exercises padding
+        for chunk in (24,):  # 24 does not divide cap=64 -> exercises padding
             gpc = dataclasses.replace(gp, gram_chunk=chunk)
             mean1, var1 = gpc.predict(params, post, xs)
             g1 = jax.grad(lambda s: jnp.sum(gpc.predict(params, post, s)[0]))(xs)

@@ -125,6 +125,7 @@ class TestShardedTrainStep:
             jax.block_until_ready(out.cost)
         return out
 
+    @pytest.mark.slow  # mesh-size parity also exercised by the driver's dryrun_multichip every round
     def test_cost_identical_across_mesh_sizes(self, devices8):
         outs = {n: self._run(n) for n in (1, 8)}
         np.testing.assert_allclose(float(outs[8].cost), float(outs[1].cost), rtol=1e-4)

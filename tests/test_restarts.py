@@ -42,6 +42,7 @@ def _opt(max_steps=60, **kw):
 
 
 class TestRestarts:
+    @pytest.mark.slow  # full R=1-slice identity; the fast gate keeps the winner/selection tests
     def test_lane0_matches_single_restart(self):
         """Restart lane 0 preserves the single-restart key schedule exactly:
         its best in-model cost equals the R=1 run's."""

@@ -253,6 +253,7 @@ class TestPolicyOptimizer:
             np.asarray(r1.cost_history)[:30], np.asarray(r2.cost_history)[:30], rtol=1e-5
         )
 
+    @pytest.mark.slow  # chunk-boundary invariance also covered by test_chunked_execution_matches_single_chunk
     def test_adaptive_chunking_matches_static(self):
         # chunk_target_s resizes chunks from measured throughput; boundaries
         # must not affect results (the while_loop carry is exact)

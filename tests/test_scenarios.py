@@ -36,6 +36,7 @@ class TestCartpoleIntegration:
         assert os.path.isdir(os.path.join(str(tmp_path), "model_trial0"))
         assert os.path.isdir(os.path.join(str(tmp_path), "policy_trial0"))
 
+    @pytest.mark.slow  # multi-hundred-step learning smoke; the TPU protocol sweeps cover learning
     def test_policy_improves_cost_on_longer_budget(self):
         agent, kwargs = _smoke_agent()
         agent.collect(3.0, 0, exploration=True)
