@@ -201,6 +201,10 @@ class PolicyOptimizer:
     # independent given policy + posterior); parameters and the posterior
     # cache replicate, and XLA emits the cost-mean / policy-gradient psums
     # over ICI from the sharding constraints.  None = single device.
+    # With num_restarts > 1, a 2D ("r", "p") mesh
+    # (parallel.mesh.make_restart_particle_mesh) additionally shards the
+    # restart lanes: independent optimizations per lane, zero cross-lane
+    # traffic until the final winner argmin.
     # (The reference has no distributed backend at all — SURVEY §2.6.)
     mesh: Optional[object] = None
 
@@ -243,6 +247,18 @@ class PolicyOptimizer:
         """
         num_steps = int(min(int(num_opt_steps), self.max_opt_steps))
         multi = self.num_restarts > 1
+        if self.mesh is not None and mesh_mod.RESTART_AXIS in self.mesh.axis_names:
+            r_shards = self.mesh.shape[mesh_mod.RESTART_AXIS]
+            if not multi:
+                raise ValueError(
+                    "mesh has a restart axis 'r' but num_restarts == 1; use a "
+                    "plain particle mesh (parallel.mesh.make_mesh) instead"
+                )
+            if self.num_restarts % r_shards:
+                raise ValueError(
+                    f"num_restarts={self.num_restarts} does not tile the "
+                    f"mesh's restart axis ({r_shards} shards)"
+                )
         if multi:
             # lane 0 = the incoming params (exact single-restart schedule);
             # lanes 1..R-1 = fresh reinit draws from a dedicated key stream
@@ -319,9 +335,22 @@ class PolicyOptimizer:
         (each lane folds its id into the rollout key stream; lane 0's stream
         is bit-identical to the single-restart schedule)."""
         rids = jnp.arange(self.num_restarts, dtype=jnp.int32)
-        return jax.vmap(
+        carry = jax.vmap(
             self._optimize_init, in_axes=(None, 0, None, None, None, None, None, 0)
         )(key, params_r, gp_params, posterior, lr0, p_dropout0, trial_index, rids)
+        return self._shard_restart_carry(carry)
+
+    def _shard_restart_carry(self, carry):
+        """On a 2D ('r', 'p') mesh, pin the carry's leading (restart-lane)
+        axis onto ``"r"``: lanes are independent optimizations, so sharding
+        them is pure data parallelism with zero cross-lane traffic until the
+        final winner argmin.  No-op on a plain particle mesh (lanes
+        replicate; particles still shard from the in-rollout constraint)."""
+        if self.mesh is None or mesh_mod.RESTART_AXIS not in self.mesh.axis_names:
+            return carry
+        return jax.tree_util.tree_map(
+            lambda x: mesh_mod.shard_restarts(self.mesh, x), carry
+        )
 
     @partial(jax.jit, static_argnums=0)
     def _optimize_chunk_multi(
@@ -330,9 +359,10 @@ class PolicyOptimizer:
         """Vmapped `_optimize_chunk`: lanes advance in lockstep iterations;
         a lane that exits (or hits its iteration cap) freezes while the rest
         continue — the standard while_loop batching rule."""
-        return jax.vmap(
+        out = jax.vmap(
             self._optimize_chunk, in_axes=(0, None, None, None, None, 0, None)
         )(carry, key, gp_params, posterior, chunk_end, iter_end, trial_index)
+        return self._shard_restart_carry(out)
 
     @partial(jax.jit, static_argnums=0)
     def _optimize_init(

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PARTICLE_AXIS = "p"
 SEED_AXIS = "s"
+RESTART_AXIS = "r"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -48,6 +49,32 @@ def make_seed_particle_mesh(
         np.asarray(devs[:n]).reshape(n_seed_groups, n_particle_shards),
         (SEED_AXIS, PARTICLE_AXIS),
     )
+
+
+def make_restart_particle_mesh(
+    n_restart_shards: int, n_particle_shards: int, devices=None
+) -> Mesh:
+    """2D mesh for multi-restart policy optimization: axis ``"r"`` shards the
+    restart lanes (independent optimizations within one trial — zero
+    cross-lane communication until the final winner argmin), axis ``"p"``
+    shards each lane's particle batch.  Same layout logic as the seed x
+    particle mesh: adjacent devices share a lane so the per-lane
+    cost/gradient psums ride the shortest ICI links."""
+    devs = devices if devices is not None else jax.devices()
+    n = n_restart_shards * n_particle_shards
+    return Mesh(
+        np.asarray(devs[:n]).reshape(n_restart_shards, n_particle_shards),
+        (RESTART_AXIS, PARTICLE_AXIS),
+    )
+
+
+def shard_restarts(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Constrain dim 0 (the restart-lane axis) onto ``"r"``, leaving every
+    trailing dim UNCONSTRAINED so the in-rollout particle constraint (which
+    vmap lifts to dim 1) stays free to shard particles on ``"p"`` without a
+    resharding round-trip at the carry boundary."""
+    spec = P(RESTART_AXIS, *([P.UNCONSTRAINED] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def seed_sharding(mesh: Mesh) -> NamedSharding:

@@ -77,6 +77,61 @@ class TestShardedOptimizer:
         assert np.all(np.isfinite(np.asarray(out.opt.cost_history[:steps])))
 
 
+class TestRestartMesh:
+    """Multi-restart lanes sharded over the 2D ('r', 'p') mesh: lanes are
+    independent optimizations, so the sharded run must reproduce the
+    single-device multi-restart run up to reduction order."""
+
+    def _run(self, mesh, num_steps=8):
+        optimizer, policy_params, gp_params, gp, data, posterior, key = graft._tiny_setup(
+            num_particles=16
+        )
+        optimizer = dataclasses.replace(
+            optimizer, num_restarts=4, mesh=mesh, chunk_steps=4
+        )
+        res = optimizer.optimize(
+            key, policy_params, gp_params, posterior,
+            num_opt_steps=num_steps, lr0=0.01, p_dropout0=0.0,
+        )
+        jax.block_until_ready(res.cost_history)
+        return res
+
+    @pytest.mark.slow  # compile-heavy parity; the fast gate keeps the validation test
+    def test_parity_and_lane_sharding(self, devices8):
+        base = self._run(None)
+        res = self._run(mesh_mod.make_restart_particle_mesh(4, 2))
+        # the per-lane cost vector is produced BEFORE the winner gather, so
+        # it must still carry the lane sharding
+        assert mesh_mod.RESTART_AXIS in tuple(res.restart_costs.sharding.spec)
+        assert int(res.restart_winner) == int(base.restart_winner)
+        np.testing.assert_allclose(
+            np.asarray(res.restart_costs), np.asarray(base.restart_costs),
+            rtol=2e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.cost_history), np.asarray(base.cost_history),
+            rtol=2e-4, atol=1e-5,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base.policy_params),
+            jax.tree_util.tree_leaves(res.policy_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    def test_restart_mesh_validation(self, devices8):
+        optimizer, policy_params, gp_params, gp, data, posterior, key = graft._tiny_setup(
+            num_particles=16
+        )
+        mesh = mesh_mod.make_restart_particle_mesh(4, 2)
+        for bad_r in (1, 6):  # no lanes to shard / lanes don't tile the axis
+            opt = dataclasses.replace(optimizer, num_restarts=bad_r, mesh=mesh)
+            with pytest.raises(ValueError, match="restart"):
+                opt.optimize(
+                    key, policy_params, gp_params, posterior,
+                    num_opt_steps=2, lr0=0.01, p_dropout0=0.0,
+                )
+
+
 @pytest.mark.slow
 class TestShardedEndToEnd:
     """Flagship cartpole smoke config trained END TO END through the sharded
