@@ -26,7 +26,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _arm_watchdog(seconds: float):
+    """Hard-exit if the bench wedges (a dead TPU tunnel hangs the very first
+    device call indefinitely).  A clean nonzero exit with a diagnostic beats
+    an infinite hang for whoever runs this unattended.  Returns a cancel()."""
+    import threading
+
+    cancelled = threading.Event()
+
+    def fire():
+        if cancelled.wait(seconds):
+            return
+        log(f"[bench] WATCHDOG: no result after {seconds:.0f}s — "
+            "TPU runtime unreachable or compile wedged; exiting 3")
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return cancelled.set
+
+
 def main():
+    cancel_watchdog = _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "900")))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -117,6 +138,7 @@ def main():
         "vs_baseline": round(baseline_ms / ms_per_step, 2) if baseline_ms else None,
         "fast_prng_ms_per_step": round(fast_ms, 3) if fast_ms else None,
     }
+    cancel_watchdog()
     print(json.dumps(out))
 
 
