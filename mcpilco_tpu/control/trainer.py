@@ -225,6 +225,24 @@ class PolicyOptimizer:
         c, s = self.cost(res.states, res.inputs, trial_index)
         return c, (s, res.states, res.inputs)
 
+    def _first_chunk_budget(self) -> int:
+        """Step budget for the first chunk of an optimize() call.
+
+        ``chunk_steps`` is calibrated for a single restart lane; R lanes
+        multiply per-step device time ~R-fold, and an oversized first chunk
+        is exactly the uninterrupted >1 min device execution that hangs
+        tunneled TPU runtimes (observed: a MuJoCo restarts=4 sweep
+        futex-hung in its trial-2 first chunk).  Later trials also run
+        slower as the dataset grows, so when a previous optimize() on this
+        instance measured a throughput, start from that instead of the
+        static default — the stored rate is stale by at most one trial's
+        dataset growth (<2x), far inside the safety margin."""
+        budget = max(25, self.chunk_steps // max(self.num_restarts, 1))
+        last_rate = getattr(self, "_measured_rate", None)
+        if self.chunk_target_s and last_rate:
+            budget = min(budget, max(25, int(self.chunk_target_s * last_rate)))
+        return budget
+
     def optimize(
         self,
         key: jax.Array,
@@ -277,7 +295,7 @@ class PolicyOptimizer:
                 key, policy_params, gp_params, posterior, lr0, p_dropout0,
                 trial_index, jnp.zeros((), jnp.int32),
             )
-        chunk_sz = self.chunk_steps
+        chunk_sz = self._first_chunk_budget()
         step_now = 0
         while step_now < num_steps:
             end = min(step_now + chunk_sz, num_steps)
@@ -303,6 +321,9 @@ class PolicyOptimizer:
                 # chunk corrects.
                 rate = max(new_step - step_now, 1) / max(time.perf_counter() - t0, 1e-6)
                 chunk_sz = max(25, int(self.chunk_target_s * rate))
+                # remembered across optimize() calls (frozen dataclass: not a
+                # field, so jit keying by value-hash is unaffected)
+                object.__setattr__(self, "_measured_rate", rate)
             step_now = new_step
         restart_costs = winner = None
         if multi:

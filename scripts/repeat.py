@@ -9,10 +9,13 @@ seeds 1..50 via os.system).  Seeds run sequentially by default (one TPU);
 
 import argparse
 import concurrent.futures as cf
+import faulthandler
 import json
 import os
 import subprocess
 import sys
+import threading
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -92,6 +95,60 @@ def run_seed(scenario, seed, extra, platform, tag=""):
     return seed, success, r.returncode, _parse_cost(r.stdout), infra
 
 
+# Watchdog state: the in-process runner points "buf" at the current seed's
+# captured-stdout buffer; the watchdog thread treats buffer growth as the
+# liveness heartbeat (the trainer prints every ~15 s chunk, GP fits every
+# trial, so hundreds of seconds of silence means a stuck device call).
+WATCHDOG_EXIT_CODE = 87  # distinct from task/infra failures: "stalled, re-run with --resume"
+_WATCH = {"buf": None, "buf_id": None, "pos": -1, "t": 0.0,
+          "seed": None, "scenario": None, "tag": ""}
+
+
+def _start_watchdog(stall_secs):
+    """Hard-exit the process when the running seed stops producing output.
+
+    In-process sweeps can futex-hang inside a tunneled-TPU device call
+    (observed: a MuJoCo restarts sweep went 72 min silent while the TPU
+    backend stayed healthy).  A signal handler cannot fire inside a stuck C
+    call, but a daemon THREAD still runs (the stuck call waits outside the
+    GIL), so the recovery that works is: watch the stdout heartbeat, persist
+    the stuck seed's partial log, dump stacks, and os._exit with a distinct
+    code.  The caller re-runs with --resume and loses only the stuck seed."""
+
+    def run():
+        while True:
+            time.sleep(min(30.0, max(stall_secs / 4.0, 1.0)))
+            buf, now = _WATCH["buf"], time.time()
+            if buf is None:
+                _WATCH["t"] = now  # between seeds: never fires
+                continue
+            try:
+                pos = buf.tell()
+            except ValueError:  # buffer closed while we looked
+                _WATCH["t"] = now
+                continue
+            if pos != _WATCH["pos"] or id(buf) != _WATCH["buf_id"]:
+                _WATCH.update(pos=pos, buf_id=id(buf), t=now)
+                continue
+            if now - _WATCH["t"] <= stall_secs:
+                continue
+            msg = (f"[repeat] WATCHDOG: seed {_WATCH['seed']} produced no "
+                   f"output for {int(now - _WATCH['t'])}s — killing the "
+                   f"process (re-run with --resume to continue the sweep)\n")
+            sys.stderr.write(msg)
+            try:
+                _save_seed_log(_WATCH["scenario"], _WATCH["seed"],
+                               buf.getvalue() + "\n==== " + msg.strip() + " ====\n",
+                               _WATCH["tag"])
+            except Exception:
+                pass
+            faulthandler.dump_traceback(file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(WATCHDOG_EXIT_CODE)
+
+    threading.Thread(target=run, daemon=True, name="repeat-watchdog").start()
+
+
 def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
     """Run one seed by calling the train script's main() in THIS process.
 
@@ -113,6 +170,8 @@ def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
         argv += ["--platform", platform]
     old_argv, sys.argv = sys.argv, argv
     buf = io.StringIO()
+    _WATCH.update(buf=buf, buf_id=id(buf), pos=-1, t=time.time(),
+                  seed=seed, scenario=scenario, tag=tag)
     try:
         with contextlib.redirect_stdout(buf):
             rc = mod.main()
@@ -126,6 +185,7 @@ def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
         rc = 1
     finally:
         sys.argv = old_argv
+        _WATCH["buf"] = None
     out = buf.getvalue()
     _save_seed_log(scenario, seed, out, tag)
     ok = "success: True" in out
@@ -136,10 +196,12 @@ def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
 FARMABLE = ("cartpole", "cartpole_multi_init", "cartpole_pms", "furuta")
 
 
-def run_farm(args):
+def run_farm(args, seeds=None, results=None, costs=None):
     """Vmapped multi-seed training: every seed trains at once in batched
     device programs (parallel/multiseed.SeedFarm), ``--farm-batch`` seeds per
-    batch.  Supports the on-device-plant scenarios (cartpole, furuta)."""
+    batch.  Supports the on-device-plant scenarios (cartpole, furuta).
+    ``seeds``/``results``/``costs`` carry --resume state: already-completed
+    seeds are skipped but kept in the summary."""
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(HERE))
@@ -170,8 +232,10 @@ def run_farm(args):
             "--farm supports the on-device scenarios: cartpole, "
             "cartpole_multi_init, cartpole_pms, furuta"
         )
-    results, costs = {}, {}
-    seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
+    results = {} if results is None else results
+    costs = {} if costs is None else costs
+    if seeds is None:
+        seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
     for lo in range(0, len(seeds), args.farm_batch):
         batch = seeds[lo : lo + args.farm_batch]
         cfg = make_cfg(seed=batch[0])
@@ -243,6 +307,15 @@ def main():
     p.add_argument("--out-tag", type=str, default="",
                    help="suffix for the summary json filename, so A/B arms "
                         "don't overwrite each other")
+    p.add_argument("--resume", action="store_true",
+                   help="load the existing summary json for this "
+                        "scenario/tag and skip its completed seeds (crash/"
+                        "watchdog recovery; infra-errored seeds re-run)")
+    p.add_argument("--stall-secs", type=int, default=900,
+                   help="in-process mode: kill the process (exit code 87) "
+                        "when the running seed produces no output for this "
+                        "long — a stuck tunneled-TPU device call cannot be "
+                        "interrupted any other way. 0 disables.")
     args = p.parse_args()
 
     if args.extra_flag and (args.farm or (args.farm is None and args.scenario in FARMABLE
@@ -260,12 +333,19 @@ def main():
         extra += ["--trials", str(args.trials)]
     for flag in args.extra_flag:
         extra += flag.split("=", 1) if flag.startswith("--") and "=" in flag else [flag]
-    seeds = range(args.first_seed, args.first_seed + args.num_seeds)
+    seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
     results = {}
     costs = {}
     infra = set()
+    if args.resume:
+        results, costs = _load_resume(args)
+        seeds = [s for s in seeds if s not in results]
+        if not seeds:
+            print("[repeat] resume: nothing left to run")
+    if args.in_process and args.stall_secs:
+        _start_watchdog(args.stall_secs)
     if args.farm:
-        results, costs = run_farm(args)
+        results, costs = run_farm(args, seeds, results, costs)
         seeds = sorted(results)
     elif args.jobs > 1:
         with cf.ThreadPoolExecutor(args.jobs) as ex:
@@ -298,6 +378,26 @@ def main():
     return 0
 
 
+def _summary_path(args):
+    tag = f"_{args.out_tag}" if args.out_tag else ""
+    return f"results_tmp/repeat_{args.scenario}{tag}.json"
+
+
+def _load_resume(args):
+    """Completed seeds from a prior (partial) sweep of the same scenario/tag.
+    Infra-errored seeds were excluded from per_seed by _write_summary, so
+    they re-run automatically."""
+    path = _summary_path(args)
+    if not os.path.exists(path):
+        return {}, {}
+    with open(path) as f:
+        prev = json.load(f)
+    results = {int(k): bool(v) for k, v in prev.get("per_seed", {}).items()}
+    costs = {int(k): prev.get("per_seed_cost", {}).get(k) for k in prev.get("per_seed", {})}
+    print(f"[repeat] resume: {len(results)} completed seeds loaded from {path}")
+    return results, costs
+
+
 def _write_summary(args, results, costs, infra, complete):
     """Build + write the sweep summary. Called after every seed/batch with
     complete=False so a crash (e.g. the tunneled TPU runtime dying mid-sweep)
@@ -322,8 +422,7 @@ def _write_summary(args, results, costs, infra, complete):
                "infra_error_seeds": sorted(infra),
                "tag": args.out_tag, "extra_flags": args.extra_flag,
                "scenario_kw": args.scenario_kw, "complete": complete}
-    tag = f"_{args.out_tag}" if args.out_tag else ""
-    out = f"results_tmp/repeat_{args.scenario}{tag}.json"
+    out = _summary_path(args)
     os.makedirs("results_tmp", exist_ok=True)
     tmp = out + ".tmp"
     with open(tmp, "w") as f:

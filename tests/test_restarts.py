@@ -108,3 +108,31 @@ class TestRestarts:
         agent.optimizer = dataclasses.replace(agent.optimizer, num_restarts=2)
         with pytest.raises(ValueError, match="num_restarts"):
             SeedFarm(agent, [1, 2])
+
+
+class TestFirstChunkBudget:
+    """The first chunk of an optimize() call must shrink with restart lanes
+    and reuse a previously measured throughput: an oversized first chunk is
+    an uninterrupted >1 min device execution, the tunneled-TPU hang class
+    (a MuJoCo restarts=4 sweep futex-hung in its trial-2 first chunk)."""
+
+    def test_scales_down_with_restart_lanes(self):
+        opt, *_ = _opt()
+        opt1 = dataclasses.replace(opt, chunk_steps=500, num_restarts=1)
+        opt4 = dataclasses.replace(opt, chunk_steps=500, num_restarts=4)
+        assert opt1._first_chunk_budget() == 500
+        assert opt4._first_chunk_budget() == 125
+
+    def test_reuses_measured_rate_across_calls(self):
+        opt, *_ = _opt()
+        opt = dataclasses.replace(opt, chunk_steps=500, chunk_target_s=15.0)
+        object.__setattr__(opt, "_measured_rate", 2.0)  # 2 steps/s measured
+        assert opt._first_chunk_budget() == 30  # 15 s * 2 steps/s
+        # a fast program is still capped by the static budget
+        object.__setattr__(opt, "_measured_rate", 1e6)
+        assert opt._first_chunk_budget() == 500
+
+    def test_floor_of_25_steps(self):
+        opt, *_ = _opt()
+        opt = dataclasses.replace(opt, chunk_steps=40, num_restarts=8)
+        assert opt._first_chunk_budget() == 25

@@ -168,6 +168,97 @@ class TestRepeatInfraClassification:
                 _os.chdir(cwd)
 
 
+class TestRepeatResumeAndWatchdog:
+    """Crash recovery: --resume skips completed seeds; the in-process
+    watchdog hard-exits (code 87) when the running seed stops producing
+    output — a futex-stuck tunneled-TPU call cannot be interrupted any
+    other way (observed: 72 min of silence on a MuJoCo restarts sweep)."""
+
+    def _mod(self):
+        sys.path.insert(0, SCRIPTS)
+        import importlib
+
+        import repeat
+
+        return importlib.reload(repeat)
+
+    def test_load_resume_skips_completed_seeds(self, tmp_path):
+        repeat = self._mod()
+        import argparse as ap
+        import json as _json
+        import os as _os
+
+        cwd = _os.getcwd()
+        try:
+            _os.chdir(tmp_path)
+            args = ap.Namespace(scenario="mj", out_tag="r3")
+            _os.makedirs("results_tmp")
+            with open("results_tmp/repeat_mj_r3.json", "w") as f:
+                _json.dump({"per_seed": {"1": True, "3": False},
+                            "per_seed_cost": {"1": 8.0, "3": 30.0},
+                            "infra_error_seeds": [2]}, f)
+            results, costs = repeat._load_resume(args)
+            assert results == {1: True, 3: False}
+            assert costs == {1: 8.0, 3: 30.0}
+            # infra seed 2 was excluded from per_seed -> re-runs
+            seeds = [s for s in [1, 2, 3, 4] if s not in results]
+            assert seeds == [2, 4]
+            # no summary yet -> empty resume state
+            args2 = ap.Namespace(scenario="other", out_tag="")
+            assert repeat._load_resume(args2) == ({}, {})
+        finally:
+            _os.chdir(cwd)
+
+    def test_watchdog_kills_stalled_process(self):
+        """End-to-end in a subprocess: a buffer that never grows must get the
+        process killed with WATCHDOG_EXIT_CODE and the partial log saved."""
+        code = """
+import io, os, sys, time
+sys.path.insert(0, %r)
+import repeat
+os.chdir(%r)
+buf = io.StringIO()
+buf.write("partial output before the hang")
+repeat._WATCH.update(buf=buf, buf_id=id(buf), pos=buf.tell(), t=time.time(),
+                     seed=7, scenario="mj", tag="wd")
+repeat._start_watchdog(stall_secs=1)
+time.sleep(30)  # simulated stuck device call; watchdog must fire first
+"""
+        import subprocess as sp
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            r = sp.run([sys.executable, "-c", code % (SCRIPTS, d)],
+                       capture_output=True, text=True, timeout=25)
+            assert r.returncode == 87, (r.returncode, r.stderr[-500:])
+            assert "WATCHDOG" in r.stderr
+            log = open(os.path.join(d, "results_tmp/mj_wd_7/stdout.log")).read()
+            assert "partial output before the hang" in log
+            assert "WATCHDOG" in log
+
+    def test_watchdog_heartbeat_keeps_process_alive(self):
+        """A buffer that keeps growing must NOT trip the watchdog."""
+        code = """
+import io, sys, time
+sys.path.insert(0, %r)
+import repeat
+buf = io.StringIO()
+repeat._WATCH.update(buf=buf, buf_id=id(buf), pos=-1, t=time.time(),
+                     seed=1, scenario="mj", tag="")
+repeat._start_watchdog(stall_secs=2)
+for _ in range(8):
+    buf.write("heartbeat")
+    time.sleep(0.5)
+print("survived")
+"""
+        import subprocess as sp
+
+        r = sp.run([sys.executable, "-c", code % (SCRIPTS,)],
+                   capture_output=True, text=True, timeout=25)
+        assert r.returncode == 0, (r.returncode, r.stderr[-500:])
+        assert "survived" in r.stdout
+
+
 class TestSummarizeResults:
     """summarize_results merges split seed ranges but keeps A/B arms apart."""
 
