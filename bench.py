@@ -45,7 +45,54 @@ def _arm_watchdog(seconds: float):
     return cancelled.set
 
 
+def _preflight_tpu():
+    """Wedge-proof pre-flight: probe the TPU runtime in a SUBPROCESS before
+    the main process claims it.
+
+    The tunneled chip is claimed per-process; a claim left stale by a client
+    killed mid-device-execution makes every fresh process hang inside
+    jax.devices() until the remote claim expires (measured ~25 min,
+    RESULTS.md round 3 — this is what turned BENCH_r03.json into an rc=3
+    watchdog exit).  Probing in a subprocess is safe to time out and kill:
+    a process stuck WAITING for the claim does not hold it, unlike one
+    killed mid-execution.  Retry inside a bounded window sized past the
+    observed claim expiry, so a stale claim delays the capture instead of
+    killing it."""
+    import subprocess
+
+    window_s = float(os.environ.get("BENCH_PREFLIGHT_WINDOW_S", "2100"))
+    probe_s = float(os.environ.get("BENCH_PREFLIGHT_PROBE_S", "150"))
+    if window_s <= 0:
+        return
+    deadline = time.time() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                timeout=probe_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                log(f"[bench] preflight ok (attempt {attempt}, "
+                    f"{time.time() - t0:.0f}s): {r.stdout.strip().splitlines()[-1]}")
+                return
+            msg = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            log(f"[bench] preflight attempt {attempt} rc={r.returncode}: {msg[0]}")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] preflight attempt {attempt} hung >{probe_s:.0f}s "
+                "(stale remote claim?) — probe killed, waiting for expiry")
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            log(f"[bench] preflight FAILED for {window_s:.0f}s — "
+                "TPU runtime unreachable; exiting 4")
+            sys.exit(4)
+        time.sleep(min(60.0, remaining))
+
+
 def main():
+    _preflight_tpu()
     cancel_watchdog = _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "900")))
 
     import jax

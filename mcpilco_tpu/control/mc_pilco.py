@@ -298,8 +298,6 @@ class MCPilco:
             )
         pol = self.exploration_policy if exploration else self.policy
         params = self.expl_params if exploration else self.policy_params
-        if exploration:
-            self.num_exploration_trials += 1
         x0 = self._sample_x0(trial_index)
         k = prng.fold(prng.stream(self.key, prng.STREAM_SYSTEM), trial_index)
         trial = self.plant.rollout(k, x0, pol, params, T, self.dt)
@@ -317,6 +315,12 @@ class MCPilco:
                 measured=states, inputs=inputs, true=trial.true[1:-1], noisy=trial.noisy[1:-1]
             )
         self._ingest(trial)
+        # ingest-then-count, matching the HIL path's discipline above: a
+        # rollout (or filtering) that raises must not bump the exploration
+        # ordinal, or every later control trial's per-trial cost schedule
+        # shifts by one
+        if exploration:
+            self.num_exploration_trials += 1
         return trial
 
     # ------------------------------------------------------------ model

@@ -179,6 +179,20 @@ class PolicyOptimizer:
     # policy re-init, matching the reference's inner retry loop
     # (MC_PILCO.py:480-501)
     max_nan_retries: int = 10
+    # How the NaN-retry/reinit paths merge into the loop carry:
+    #  * "cond" (default): the healthy carry update runs inside lax.cond, so
+    #    the common no-NaN step pays zero select/merge traffic when the loop
+    #    is not vmapped (the single-seed production path — this recovers the
+    #    ~0.4 ms/step the round-3 computed-merge restructure cost it).  Under
+    #    the seed farm's vmap the cond lowers to a select over both branches,
+    #    but both branches are carry-sized shuffles: the ROLLOUT stays
+    #    outside the cond (the round-3 farm lesson — a rollout-sized cond
+    #    branch cost 2.7x per seed).
+    #  * "where": the round-3 computed-merge structure, kept as A/B control.
+    # Both styles keep the exact same key/retry/reinit schedule; carries
+    # agree to f32 XLA-refusion noise (~1 ulp/step — the cond boundary
+    # changes fusion), tested in tests/test_rollout_trainer.py.
+    nan_branch_style: str = "cond"
     # Multi-restart policy optimization (beyond-parity; the reference always
     # optimizes a single policy init).  R > 1 vmaps R independent lanes of
     # the SAME compiled loop over a leading restart axis: lane 0 starts from
@@ -490,90 +504,137 @@ class PolicyOptimizer:
                 c.params, gp_params, posterior, kt, c.p_drop, trial_index
             )
             is_nan = jnp.isnan(cost)
+
             # NaN guard: re-sample with fresh noise WITHOUT advancing the opt
             # step, up to max_nan_retries times (the reference's inner
             # `while num_attempts < 10 and flg_nan` — MC_PILCO.py:480-501).
-            # Retries consume loop iterations rather than a nested lax.cond
-            # branch: under the seed farm's vmap a cond would execute its
-            # rollout-sized branch EVERY step for every seed (measured 2.7x
-            # per-seed overhead), while a loop iteration only runs when a NaN
-            # actually occurred.
+            # Retries consume loop iterations rather than re-running the
+            # rollout inside a cond branch: under the seed farm's vmap a cond
+            # executes BOTH branches, so a rollout-sized branch would run
+            # every step for every seed (measured 2.7x per-seed overhead).
+            # Only the carry-sized bookkeeping below is style-dispatched —
+            # see nan_branch_style on the dataclass.
+
+            def advance(c: _Carry, nan_flag) -> _Carry:
+                """The healthy-step carry update.  ``nan_flag`` is the python
+                literal False under the "cond" style (every NaN select elides
+                at trace time) or the traced is_nan under "where" (the
+                round-3 computed-merge carry)."""
+
+                def keep_old(old, new):
+                    return new if nan_flag is False else jnp.where(nan_flag, old, new)
+
+                # --- Adam step (skipped on NaN)
+                new_params, new_adam = adam_update(
+                    masked(grads), c.adam, c.params, c.lr,
+                    self.adam_b1, self.adam_b2, self.adam_eps
+                )
+                new_params = jax.tree_util.tree_map(
+                    lambda n, o: keep_old(o, n), new_params, c.params
+                )
+
+                # --- convergence monitor (MC_PILCO.py:507-519)
+                dc = cost - c.cost_prev
+                es1 = self.alpha_diff_cost * c.es1 + (1 - self.alpha_diff_cost) * dc
+                es2 = self.alpha_diff_cost * (
+                    c.es2 + (1 - self.alpha_diff_cost) * (dc - c.es1) ** 2
+                )
+                dcr = self.alpha_diff_cost * c.dcr + (1 - self.alpha_diff_cost) * (
+                    es1 / jnp.sqrt(es2 + jnp.finfo(f32).tiny)
+                )
+
+                below = jnp.abs(dcr) < c.thr
+                consec = jnp.where(below, c.consec + 1, 0)
+
+                # --- plateau logic (MC_PILCO.py:543-567)
+                gate = (c.step.astype(f32) > c.gate_step) & (consec >= self.num_min_diff_cost)
+                can_reduce = c.lr > self.lr_min * (1 + 1e-6)
+                reduce_lr = gate & can_reduce
+                exit_now = gate & ~can_reduce
+
+                lr = jnp.where(
+                    reduce_lr, jnp.maximum(c.lr * self.lr_reduction_ratio, self.lr_min), c.lr
+                )
+                thr = jnp.where(reduce_lr, jnp.maximum(c.thr * 0.5, self.thr_floor), c.thr)
+                gate_step = jnp.where(
+                    reduce_lr, c.step.astype(f32) + self.num_min_diff_cost, c.gate_step
+                )
+                p_drop = jnp.where(
+                    reduce_lr, jnp.maximum(c.p_drop - self.p_drop_reduction, 0.0), c.p_drop
+                )
+                consec = jnp.where(reduce_lr, 0, consec)
+                fresh_adam = adam_init(new_params)
+                new_adam = jax.tree_util.tree_map(
+                    lambda f, n: jnp.where(reduce_lr, f, n), fresh_adam, new_adam
+                )
+
+                cost_logged = keep_old(c.cost_prev, cost)
+                improved = cost < c.best_cost
+                if nan_flag is not False:
+                    improved = ~nan_flag & improved
+                best_cost = jnp.where(improved, cost, c.best_cost)
+                best_params = jax.tree_util.tree_map(
+                    lambda nb, ob: jnp.where(improved, nb, ob), c.params, c.best_params
+                )
+                return c._replace(
+                    best_cost=best_cost,
+                    best_params=best_params,
+                    step=c.step + 1,
+                    done=c.done | exit_now,
+                    params=new_params,
+                    adam=new_adam,
+                    lr=lr,
+                    p_drop=p_drop,
+                    thr=thr,
+                    gate_step=gate_step,
+                    consec=consec,
+                    es1=es1,
+                    es2=es2,
+                    dcr=dcr,
+                    cost_prev=cost_logged,
+                    retry=jnp.zeros((), jnp.int32),
+                    iters=c.iters + 1,
+                    cost_hist=c.cost_hist.at[c.step].set(cost_logged),
+                    std_hist=c.std_hist.at[c.step].set(keep_old(jnp.asarray(0.0, f32), std)),
+                    states=keep_old(c.states, states),
+                    inputs=keep_old(c.inputs, inputs),
+                )
+
+            if self.nan_branch_style == "cond":
+
+                def handle_nan(c: _Carry) -> _Carry:
+                    def retry_fn(c: _Carry) -> _Carry:
+                        # identical carry, only the retry/iteration counters move
+                        return c._replace(retry=c.retry + 1, iters=c.iters + 1)
+
+                    def give_up_fn(c: _Carry) -> _Carry:
+                        # full re-init once the retry budget is exhausted
+                        # (MC_PILCO.py:572-607): log cost_prev for this step,
+                        # keep best/states/done, reset the optimizer state.
+                        # (Matches the "where" style's NaN give-up carry for
+                        # every config with num_min_diff_cost >= 1 — all of
+                        # them — where the NaN-poisoned plateau gate cannot
+                        # fire.)
+                        logged = c._replace(
+                            step=c.step + 1,
+                            iters=c.iters + 1,
+                            retry=jnp.zeros((), jnp.int32),
+                            cost_hist=c.cost_hist.at[c.step].set(c.cost_prev),
+                            std_hist=c.std_hist.at[c.step].set(0.0),
+                        )
+                        return reinit_all(logged, kt)
+
+                    return jax.lax.cond(
+                        c.retry < self.max_nan_retries, retry_fn, give_up_fn, c
+                    )
+
+                return jax.lax.cond(is_nan, handle_nan, lambda cc: advance(cc, False), c)
+
+            # "where" style: the round-3 computed merge of all three paths
+            new_c = advance(c, is_nan)
             retry_now = is_nan & (c.retry < self.max_nan_retries)
-
-            # --- Adam step (skipped on NaN)
-            new_params, new_adam = adam_update(
-                masked(grads), c.adam, c.params, c.lr, self.adam_b1, self.adam_b2, self.adam_eps
-            )
-            new_params = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(is_nan, o, n), new_params, c.params
-            )
-
-            # --- convergence monitor (MC_PILCO.py:507-519)
-            dc = cost - c.cost_prev
-            es1 = self.alpha_diff_cost * c.es1 + (1 - self.alpha_diff_cost) * dc
-            es2 = self.alpha_diff_cost * (
-                c.es2 + (1 - self.alpha_diff_cost) * (dc - c.es1) ** 2
-            )
-            dcr = self.alpha_diff_cost * c.dcr + (1 - self.alpha_diff_cost) * (
-                es1 / jnp.sqrt(es2 + jnp.finfo(f32).tiny)
-            )
-
-            below = jnp.abs(dcr) < c.thr
-            consec = jnp.where(below, c.consec + 1, 0)
-
-            # --- plateau logic (MC_PILCO.py:543-567)
-            gate = (c.step.astype(f32) > c.gate_step) & (consec >= self.num_min_diff_cost)
-            can_reduce = c.lr > self.lr_min * (1 + 1e-6)
-            reduce_lr = gate & can_reduce
-            exit_now = gate & ~can_reduce
-
-            lr = jnp.where(reduce_lr, jnp.maximum(c.lr * self.lr_reduction_ratio, self.lr_min), c.lr)
-            thr = jnp.where(reduce_lr, jnp.maximum(c.thr * 0.5, self.thr_floor), c.thr)
-            gate_step = jnp.where(
-                reduce_lr, c.step.astype(f32) + self.num_min_diff_cost, c.gate_step
-            )
-            p_drop = jnp.where(
-                reduce_lr, jnp.maximum(c.p_drop - self.p_drop_reduction, 0.0), c.p_drop
-            )
-            consec = jnp.where(reduce_lr, 0, consec)
-            fresh_adam = adam_init(new_params)
-            new_adam = jax.tree_util.tree_map(
-                lambda f, n: jnp.where(reduce_lr, f, n), fresh_adam, new_adam
-            )
-
-            cost_logged = jnp.where(is_nan, c.cost_prev, cost)
-            improved = ~is_nan & (cost < c.best_cost)
-            best_cost = jnp.where(improved, cost, c.best_cost)
-            best_params = jax.tree_util.tree_map(
-                lambda nb, ob: jnp.where(improved, nb, ob), c.params, c.best_params
-            )
-            new_c = c._replace(
-                best_cost=best_cost,
-                best_params=best_params,
-                step=c.step + 1,
-                done=c.done | exit_now,
-                params=new_params,
-                adam=new_adam,
-                lr=lr,
-                p_drop=p_drop,
-                thr=thr,
-                gate_step=gate_step,
-                consec=consec,
-                es1=es1,
-                es2=es2,
-                dcr=dcr,
-                cost_prev=cost_logged,
-                retry=jnp.zeros((), jnp.int32),
-                iters=c.iters + 1,
-                cost_hist=c.cost_hist.at[c.step].set(cost_logged),
-                std_hist=c.std_hist.at[c.step].set(jnp.where(is_nan, 0.0, std)),
-                states=jnp.where(is_nan, c.states, states),
-                inputs=jnp.where(is_nan, c.inputs, inputs),
-            )
-            # full re-init once the retry budget is exhausted (MC_PILCO.py:572-607)
             give_up = is_nan & ~retry_now
             advanced = jax.lax.cond(give_up, lambda cc: reinit_all(cc, kt), lambda cc: cc, new_c)
-            # retry path: identical carry, only the retry/iteration counters move
             retry_c = c._replace(retry=c.retry + 1, iters=c.iters + 1)
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(retry_now, a, b), retry_c, advanced

@@ -75,6 +75,23 @@ class TestExternalTrial:
                                  np.zeros((10, 1)), exploration=True)
         assert agent.num_exploration_trials == 1
 
+    def test_failing_collect_does_not_bump_exploration_ordinal(self, tmp_path):
+        """collect() must follow the same ingest-then-count discipline as the
+        HIL path (mc_pilco.py): a plant rollout that raises mid-trial leaves
+        num_exploration_trials unchanged, so later control-trial cost
+        ordinals don't shift."""
+        agent, _ = _smoke_agent(tmp_path, with_plant=True)
+
+        class ExplodingPlant:
+            def rollout(self, *a, **k):
+                raise RuntimeError("rig disconnected mid-trial")
+
+        agent.plant = ExplodingPlant()
+        with pytest.raises(RuntimeError, match="rig disconnected"):
+            agent.collect(2.0, trial_index=0, exploration=True)
+        assert agent.num_exploration_trials == 0
+        assert agent.num_collections == 0
+
     def test_load_external_trial_csv_protocol(self, tmp_path):
         """The reference's file layout: log_dir/DATA_<trial>/noisy_samples.csv
         + input_samples.csv (MC_PILCO.py:1032-1054)."""

@@ -295,6 +295,92 @@ class TestPolicyOptimizer:
             np.asarray(full.cost_hist), np.asarray(resumed.cost_hist), rtol=1e-6
         )
 
+    def test_nan_branch_styles_identical_healthy(self):
+        """The "cond" NaN-branch style (healthy carry update inside lax.cond,
+        the fast unvmapped path) must reproduce the round-3 "where" style
+        bit-for-bit on a healthy run — keep_old() elides selects whose
+        predicate is False, which is a bitwise identity."""
+        import dataclasses
+
+        opt, gp_params, post, pol_params = self._opt()
+        assert opt.nan_branch_style == "cond"
+        opt_where = dataclasses.replace(opt, nan_branch_style="where")
+        r1 = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                          num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
+        r2 = opt_where.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                                num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
+        assert int(r1.steps_done) == int(r2.steps_done)
+        np.testing.assert_allclose(np.asarray(r1.cost_history),
+                                   np.asarray(r2.cost_history), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(r1.policy_params),
+                        jax.tree_util.tree_leaves(r2.policy_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    def test_nan_branch_styles_identical_under_nans(self):
+        """Stochastic NaN injection exercises all three paths (advance, retry
+        with fresh noise, reinit on budget exhaustion); both styles must walk
+        the identical retry/reinit/key schedule."""
+        import dataclasses
+
+        opt, gp_params, post, pol_params = self._opt()
+
+        class FlakyCost:
+            """NaN on a pseudo-random ~40% of rollouts; retries draw fresh
+            rollout noise, so the trigger re-rolls.  The trigger hashes the
+            INITIAL particles (a pure function of the rollout key, identical
+            across both styles) via their exponent bits, so the NaN schedule
+            is invariant to the ~1-ulp param drift XLA refusion introduces."""
+
+            def __init__(self, base):
+                self.base = base
+
+            def __call__(self, states, inputs, trial_index):
+                c, s = self.base(states, inputs, trial_index)
+                bits = jax.lax.bitcast_convert_type(states[0, 0, 0], jnp.uint32)
+                h = (bits >> jnp.uint32(8)) % jnp.uint32(10)
+                return jnp.where(h < 4, jnp.float32(jnp.nan), c), s
+
+        flaky = dataclasses.replace(opt, cost=FlakyCost(opt.cost),
+                                    max_nan_retries=2)
+        flaky_where = dataclasses.replace(flaky, nan_branch_style="where")
+        r1 = flaky.optimize(jax.random.PRNGKey(3), pol_params, gp_params, post,
+                            num_opt_steps=20, lr0=0.02, p_dropout0=0.0)
+        r2 = flaky_where.optimize(jax.random.PRNGKey(3), pol_params, gp_params, post,
+                                  num_opt_steps=20, lr0=0.02, p_dropout0=0.0)
+        # the injection must actually have fired at least one retry or reinit
+        assert int(r1.reinit_count) > 0 or not np.array_equal(
+            np.asarray(r1.cost_history), np.zeros_like(np.asarray(r1.cost_history))
+        )
+        assert int(r1.steps_done) == int(r2.steps_done)
+        assert int(r1.reinit_count) == int(r2.reinit_count)
+        np.testing.assert_allclose(np.asarray(r1.cost_history),
+                                   np.asarray(r2.cost_history), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(r1.policy_params),
+                        jax.tree_util.tree_leaves(r2.policy_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    def test_nan_branch_cond_style_under_vmap(self):
+        """The farm vmaps the compiled loop; the "cond" style must stay
+        correct there (cond lowers to a select over both carry-sized
+        branches) and match the "where" style per lane."""
+        import dataclasses
+
+        opt, gp_params, post, pol_params = self._opt()
+        opt_where = dataclasses.replace(opt, nan_branch_style="where")
+        keys = jax.random.split(jax.random.PRNGKey(5), 3)
+        args = (jnp.float32(0.02), jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
+        c0 = jax.vmap(lambda k: opt._optimize_init(k, pol_params, gp_params, post, *args))(keys)
+        big = jnp.int32(1 << 30)
+
+        def run(o, c, k):
+            return o._optimize_chunk(c, k, gp_params, post, jnp.int32(12), big, jnp.int32(0))
+
+        r_cond = jax.vmap(lambda c, k: run(opt, c, k))(c0, keys)
+        r_where = jax.vmap(lambda c, k: run(opt_where, c, k))(c0, keys)
+        np.testing.assert_allclose(np.asarray(r_cond.cost_hist),
+                                    np.asarray(r_where.cost_hist), rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(r_cond.step), np.asarray(r_where.step))
+
     def test_dropout_active_path(self):
         opt, gp_params, post, pol_params = self._opt(p_drop_reduction=0.125)
         res = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
