@@ -46,49 +46,23 @@ def _arm_watchdog(seconds: float):
 
 
 def _preflight_tpu():
-    """Wedge-proof pre-flight: probe the TPU runtime in a SUBPROCESS before
-    the main process claims it.
+    """Wedge-proof pre-flight: gate on a subprocess device-execution probe
+    before this process claims the chip (see utils/tpu_health.py — stale or
+    stuck remote claims otherwise hang the first device call indefinitely,
+    which is what turned BENCH_r03.json into an rc=3 watchdog exit).  A
+    bounded retry window sized past the ~25-min claim expiry means an outage
+    delays the driver capture instead of killing it."""
+    from mcpilco_tpu.utils.tpu_health import wait_for_chip
 
-    The tunneled chip is claimed per-process; a claim left stale by a client
-    killed mid-device-execution makes every fresh process hang inside
-    jax.devices() until the remote claim expires (measured ~25 min,
-    RESULTS.md round 3 — this is what turned BENCH_r03.json into an rc=3
-    watchdog exit).  Probing in a subprocess is safe to time out and kill:
-    a process stuck WAITING for the claim does not hold it, unlike one
-    killed mid-execution.  Retry inside a bounded window sized past the
-    observed claim expiry, so a stale claim delays the capture instead of
-    killing it."""
-    import subprocess
-
-    window_s = float(os.environ.get("BENCH_PREFLIGHT_WINDOW_S", "2100"))
+    window_s = float(
+        os.environ.get("BENCH_PREFLIGHT_WINDOW_S",
+                       os.environ.get("MCPILCO_CHIP_WAIT_S", "2100"))
+    )
     probe_s = float(os.environ.get("BENCH_PREFLIGHT_PROBE_S", "150"))
-    if window_s <= 0:
-        return
-    deadline = time.time() + window_s
-    attempt = 0
-    while True:
-        attempt += 1
-        t0 = time.time()
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; print(jax.devices())"],
-                timeout=probe_s, capture_output=True, text=True,
-            )
-            if r.returncode == 0:
-                log(f"[bench] preflight ok (attempt {attempt}, "
-                    f"{time.time() - t0:.0f}s): {r.stdout.strip().splitlines()[-1]}")
-                return
-            msg = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
-            log(f"[bench] preflight attempt {attempt} rc={r.returncode}: {msg[0]}")
-        except subprocess.TimeoutExpired:
-            log(f"[bench] preflight attempt {attempt} hung >{probe_s:.0f}s "
-                "(stale remote claim?) — probe killed, waiting for expiry")
-        remaining = deadline - time.time()
-        if remaining <= 0:
-            log(f"[bench] preflight FAILED for {window_s:.0f}s — "
-                "TPU runtime unreachable; exiting 4")
-            sys.exit(4)
-        time.sleep(min(60.0, remaining))
+    if not wait_for_chip(window_s, probe_s, log=log):
+        log(f"[bench] preflight FAILED for {window_s:.0f}s — "
+            "TPU runtime unreachable; exiting 4")
+        sys.exit(4)
 
 
 def main():

@@ -581,6 +581,30 @@ class MCPilco:
 
     # ------------------------------------------------------------ persistence
 
+    def auto_resume(self) -> int:
+        """Resume from the newest post-interaction checkpoint in log_dir.
+
+        ``reinforce`` continues from the restored state (start_trial =
+        len(trial_logs), exploration skipped when num_collections > 0), so a
+        seed interrupted mid-trial — e.g. by the sweep watchdog killing a
+        stalled tunnel dispatch — re-runs only its in-flight trial instead of
+        the whole training.  Returns the number of completed trials loaded
+        (0 = nothing to resume)."""
+        if not self.log_dir:
+            return 0
+        import glob
+        import re
+
+        dirs = [
+            d for d in glob.glob(os.path.join(self.log_dir, "complete_trial*"))
+            if re.search(r"complete_trial(\d+)$", d)
+        ]
+        if not dirs:
+            return 0
+        latest = max(dirs, key=lambda d: int(re.search(r"(\d+)$", d).group(1)))
+        self.load_checkpoint(latest)
+        return len(self.trial_logs)
+
     def save_checkpoint(self, stage: str) -> None:
         if not self.log_dir:
             return

@@ -1,0 +1,73 @@
+"""Chip-readiness gate for the tunneled single-chip TPU runtime.
+
+The chip is claimed per-process; two failure modes make a FRESH process hang
+indefinitely on its first device interaction (measured, RESULTS.md round 3/4):
+
+1. a client killed mid-device-execution leaves the remote claim stale for
+   ~25 min;
+2. a client whose dispatch stalls client-side (a lost tunnel RPC — observed
+   on a trivial 8x8 reduce) HOLDS the claim while stuck, so every other
+   process blocks until that client dies and its claim expires.
+
+Probing in a SUBPROCESS is safe to time out and kill: a process stuck
+*waiting* for the claim does not hold it (verified: killing one does not
+extend the outage).  ``wait_for_chip`` retries such probes inside a bounded
+window sized past the observed claim expiry, so callers (bench.py, the
+repeat.py sweep supervisor) are delayed by an outage instead of killed.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+# a real (small) device execution, not just backend registration —
+# jax.devices() can succeed while executions still hang
+_PROBE_CODE = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
+
+
+def wait_for_chip(
+    window_s: float = 2100.0,
+    probe_s: float = 150.0,
+    log=print,
+    probe_code: str = _PROBE_CODE,
+) -> bool:
+    """Block until a subprocess can run a trivial device execution.
+
+    Returns True when the chip answered, False when the window expired.
+    ``window_s`` defaults past the ~25-min stale-claim expiry; ``probe_s``
+    bounds each probe (compile of the probe op is sub-second; generous slack
+    for tunnel latency).
+    """
+    if window_s <= 0:
+        return True
+    deadline = time.time() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe_code],
+                timeout=probe_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                log(f"[tpu-health] chip ok (attempt {attempt}, {time.time() - t0:.0f}s)")
+                return True
+            tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            log(f"[tpu-health] probe attempt {attempt} rc={r.returncode}: {tail[0]}")
+        except subprocess.TimeoutExpired:
+            log(f"[tpu-health] probe attempt {attempt} hung >{probe_s:.0f}s "
+                "(stale or stuck remote claim) — probe killed, waiting for expiry")
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            log(f"[tpu-health] chip unreachable for {window_s:.0f}s — giving up")
+            return False
+        time.sleep(min(60.0, remaining))
+
+
+def probe_env_window() -> float:
+    """Window override from the environment (shared by bench + sweeps)."""
+    return float(os.environ.get("MCPILCO_CHIP_WAIT_S", "2100"))

@@ -316,7 +316,18 @@ def main():
                         "when the running seed produces no output for this "
                         "long — a stuck tunneled-TPU device call cannot be "
                         "interrupted any other way. 0 disables.")
+    p.add_argument("--supervise", type=int, default=0, metavar="N",
+                   help="run the sweep in a supervised subprocess and, on a "
+                        "watchdog stall (rc 87) or crash, wait for the chip "
+                        "to answer a probe (utils/tpu_health.py — stale "
+                        "tunnel claims expire in ~25 min) and re-launch with "
+                        "--resume, up to N times. Turns the tunnel's "
+                        "lost-dispatch stalls into lost minutes instead of "
+                        "lost sweeps. 0 = off.")
     args = p.parse_args()
+
+    if args.supervise and os.environ.get("MCPILCO_SUPERVISED") != "1":
+        return _supervise(args)
 
     if args.extra_flag and (args.farm or (args.farm is None and args.scenario in FARMABLE
                                           and not args.in_process and args.jobs == 1)):
@@ -329,6 +340,11 @@ def main():
                          "script flags via --extra-flag")
 
     extra = ["--smoke"] if args.smoke else []
+    if not args.farm:
+        # a watchdog-killed seed re-runs from its newest complete_trial*
+        # checkpoint instead of from scratch (no-op on fresh dirs; seed dirs
+        # are tag-scoped so A/B arms never cross-resume)
+        extra += ["--auto-resume"]
     if args.trials is not None:
         extra += ["--trials", str(args.trials)]
     for flag in args.extra_flag:
@@ -376,6 +392,48 @@ def main():
     print(json.dumps(summary, indent=1))
     print(f"wrote {out}")
     return 0
+
+
+def _supervise(args):
+    """Outer recovery loop: run the sweep as a child and auto-resume it.
+
+    The tunneled runtime sporadically swallows a dispatch (observed on ops as
+    trivial as an 8x8 reduce); the in-process watchdog then exits 87 with the
+    stuck seed's log persisted, but the stale remote claim blocks every fresh
+    process for ~25 min.  This loop gates each relaunch on a subprocess chip
+    probe so the resume starts the moment the claim expires, not on a human."""
+    sys.path.insert(0, os.path.dirname(HERE))
+    from mcpilco_tpu.utils.tpu_health import probe_env_window, wait_for_chip
+
+    raw = sys.argv[1:]
+    child_argv = []
+    skip = False
+    for a in raw:  # strip --supervise N / --supervise=N
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise":
+            skip = True
+        elif not a.startswith("--supervise="):
+            child_argv.append(a)
+    env = dict(os.environ, MCPILCO_SUPERVISED="1")
+    for attempt in range(args.supervise + 1):
+        argv = child_argv + (["--resume"] if attempt and "--resume" not in child_argv else [])
+        print(f"[repeat-supervisor] launch {attempt + 1}/{args.supervise + 1}: "
+              f"{' '.join(argv)}", flush=True)
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)] + argv, env=env)
+        if rc == 0:
+            print("[repeat-supervisor] sweep complete", flush=True)
+            return 0
+        print(f"[repeat-supervisor] child exited rc={rc}", flush=True)
+        if attempt == args.supervise:
+            break
+        if not wait_for_chip(probe_env_window(), log=lambda *a: print(*a, flush=True)):
+            print("[repeat-supervisor] chip never recovered — aborting", flush=True)
+            return rc
+    print(f"[repeat-supervisor] giving up after {args.supervise + 1} launches (rc={rc})",
+          flush=True)
+    return rc
 
 
 def _summary_path(args):

@@ -28,6 +28,10 @@ def main():
     p.add_argument("--trials", type=int, default=None)
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None, help="cpu to force CPU")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest complete_trial* checkpoint "
+                        "in the log dir (watchdog/crash recovery; no-op on "
+                        "a fresh dir)")
     args = p.parse_args()
 
     if args.platform:
@@ -57,6 +61,11 @@ def main():
 
     print(f"devices: {jax.devices()}")
     agent, kwargs = scen.build(cfg)
+    if args.auto_resume:
+        done = agent.auto_resume()
+        if done:
+            print(f"[train] auto-resumed {done} completed trials from {agent.log_dir}")
+            kwargs = {**kwargs, "num_trials": max(kwargs["num_trials"] - done, 0)}
     t0 = time.time()
     logs = agent.reinforce(**kwargs)
     wall = time.time() - t0

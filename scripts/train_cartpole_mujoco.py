@@ -25,6 +25,10 @@ def main():
                    help="vmapped policy-init restarts per trial; the winner "
                         "by in-model cost is kept (default 1 = reference-"
                         "faithful single init)")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest complete_trial* checkpoint "
+                        "in the log dir (watchdog/crash recovery; no-op on "
+                        "a fresh dir)")
     args = p.parse_args()
 
     if args.platform:
@@ -51,6 +55,11 @@ def main():
 
     print(f"devices: {jax.devices()}")
     agent, kwargs = scen.build(cfg)
+    if args.auto_resume:
+        done = agent.auto_resume()
+        if done:
+            print(f"[train] auto-resumed {done} completed trials from {agent.log_dir}")
+            kwargs = {**kwargs, "num_trials": max(kwargs["num_trials"] - done, 0)}
     t0 = time.time()
     agent.reinforce(**kwargs)
     print(f"\n[train_cartpole_mujoco] total wall-clock {time.time() - t0:.1f}s")

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--num-restarts", type=int, default=1,
                    help="vmapped policy-init restarts per trial; winner by "
                         "in-model cost (default 1 = single init)")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest complete_trial* checkpoint "
+                        "in the log dir (watchdog/crash recovery; no-op on "
+                        "a fresh dir)")
     args = p.parse_args()
 
     if args.platform:
@@ -50,6 +54,11 @@ def main():
 
     print(f"devices: {jax.devices()}")
     agent, kwargs = scen.build(cfg)
+    if args.auto_resume:
+        done = agent.auto_resume()
+        if done:
+            print(f"[train] auto-resumed {done} completed trials from {agent.log_dir}")
+            kwargs = {**kwargs, "num_trials": max(kwargs["num_trials"] - done, 0)}
     t0 = time.time()
     agent.reinforce(**kwargs)
     wall = time.time() - t0

@@ -90,6 +90,30 @@ class TestCartpoleIntegration:
             np.testing.assert_array_equal(t1.noisy, t2.noisy)
         assert agent2.num_exploration_trials == agent.num_exploration_trials
 
+    @pytest.mark.slow
+    def test_auto_resume_continues_interrupted_training(self, tmp_path):
+        """auto_resume loads the newest complete_trial* checkpoint and
+        reinforce continues at the next trial — the sweep watchdog-recovery
+        path (a killed seed re-runs only its in-flight trial)."""
+        # a 2-trial run interrupted after trial 0: simulate by running 1 trial
+        agent, kwargs = _smoke_agent(tmp_path)
+        agent.reinforce(**{**kwargs, "num_trials": 1}, verbose=False)
+        assert len(agent.trial_logs) == 1
+
+        # fresh process equivalent: same config, same log dir
+        agent2, kwargs2 = _smoke_agent(tmp_path)
+        done = agent2.auto_resume()
+        assert done == 1
+        assert agent2.num_collections == agent.num_collections
+        logs = agent2.reinforce(
+            **{**kwargs2, "num_trials": 2 - done}, verbose=False
+        )
+        assert len(logs) == 2  # trial 0 restored + trial 1 trained
+        assert os.path.isdir(os.path.join(str(tmp_path), "complete_trial1"))
+        # nothing to resume on a fresh dir
+        agent3, _ = _smoke_agent()
+        assert agent3.auto_resume() == 0
+
     def test_multi_init_variant_builds(self):
         cfg = dataclasses.replace(cp.CartpoleConfig(seed=1).smoke(), multi_init=True)
         agent, _ = cp.build(cfg)
