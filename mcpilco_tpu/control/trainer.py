@@ -206,6 +206,20 @@ class PolicyOptimizer:
     # exactly that.  VMEM note: R multiplies the rollout working set like
     # the seed farm's batch axis; R <= 4 at flagship sizes (profile_farm_r3).
     num_restarts: int = 1
+    # How restart lanes execute:
+    #  * True (default): all R lanes inside ONE compiled program (vmapped
+    #    leading axis) — maximum device utilization, and the form the
+    #    ('r', 'p') mesh shards.
+    #  * False: R sequential single-lane optimizations reusing the SAME
+    #    compiled R=1 chunk program (zero extra compiles), winner by the
+    #    same best-cost argmin.  Each lane folds its id into the key stream
+    #    exactly like its vmapped counterpart, so the two modes sample the
+    #    same lanes (modulo f32 refusion).  This is the operational fallback
+    #    for the tunneled-TPU stall on the R=4 vmapped MuJoCo trial-2
+    #    program (round 3+4: 3/3 deterministic hangs in that program's
+    #    first chunk, while the same checkpoint + program runs fine on CPU
+    #    and every R=1 program runs fine on the TPU).
+    restart_vmap: bool = True
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -239,7 +253,7 @@ class PolicyOptimizer:
         c, s = self.cost(res.states, res.inputs, trial_index)
         return c, (s, res.states, res.inputs)
 
-    def _first_chunk_budget(self) -> int:
+    def _first_chunk_budget(self, lanes: int) -> int:
         """Step budget for the first chunk of an optimize() call.
 
         ``chunk_steps`` is calibrated for a single restart lane; R lanes
@@ -251,7 +265,7 @@ class PolicyOptimizer:
         instance measured a throughput, start from that instead of the
         static default — the stored rate is stale by at most one trial's
         dataset growth (<2x), far inside the safety margin."""
-        budget = max(25, self.chunk_steps // max(self.num_restarts, 1))
+        budget = max(25, self.chunk_steps // max(lanes, 1))
         last_rate = getattr(self, "_measured_rate", None)
         if self.chunk_target_s and last_rate:
             budget = min(budget, max(25, int(self.chunk_target_s * last_rate)))
@@ -291,6 +305,11 @@ class PolicyOptimizer:
                     f"num_restarts={self.num_restarts} does not tile the "
                     f"mesh's restart axis ({r_shards} shards)"
                 )
+            if not self.restart_vmap:
+                raise ValueError(
+                    "restart_vmap=False (sequential lanes) cannot shard a "
+                    "restart mesh axis; drop the 'r' axis or keep restart_vmap"
+                )
         if multi:
             # lane 0 = the incoming params (exact single-restart schedule);
             # lanes 1..R-1 = fresh reinit draws from a dedicated key stream
@@ -300,6 +319,22 @@ class PolicyOptimizer:
             inits = [policy_params] + [
                 self.engine.policy.reinit(policy_params, k) for k in rkeys
             ]
+            if not self.restart_vmap:
+                carries = []
+                for r, p0 in enumerate(inits):
+                    c = self._optimize_init(
+                        key, p0, gp_params, posterior, lr0, p_dropout0,
+                        trial_index, jnp.asarray(r, jnp.int32),
+                    )
+                    carries.append(self._drive_chunks(
+                        c, key, gp_params, posterior, num_steps, trial_index,
+                        multi=False, lanes=1,
+                    ))
+                metric = jnp.stack([
+                    c.best_cost if self.keep_best else c.cost_prev for c in carries
+                ])
+                winner = jnp.argmin(jnp.where(jnp.isfinite(metric), metric, jnp.inf))
+                return self._result(carries[int(winner)], metric, winner)
             params_r = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *inits)
             carry = self._optimize_init_multi(
                 key, params_r, gp_params, posterior, lr0, p_dropout0, trial_index
@@ -309,8 +344,24 @@ class PolicyOptimizer:
                 key, policy_params, gp_params, posterior, lr0, p_dropout0,
                 trial_index, jnp.zeros((), jnp.int32),
             )
-        chunk_sz = self._first_chunk_budget()
-        step_now = 0
+        carry = self._drive_chunks(
+            carry, key, gp_params, posterior, num_steps, trial_index,
+            multi=multi, lanes=self.num_restarts,
+        )
+        restart_costs = winner = None
+        if multi:
+            metric = carry.best_cost if self.keep_best else carry.cost_prev
+            restart_costs = metric
+            winner = jnp.argmin(jnp.where(jnp.isfinite(metric), metric, jnp.inf))
+            carry = jax.tree_util.tree_map(lambda l: l[winner], carry)
+        return self._result(carry, restart_costs, winner)
+
+    def _drive_chunks(
+        self, carry, key, gp_params, posterior, num_steps, trial_index, *, multi, lanes
+    ) -> "_Carry":
+        """Host-driven chunked execution of the compiled loop (see optimize)."""
+        chunk_sz = self._first_chunk_budget(lanes)
+        step_now = int(jnp.min(carry.step))
         while step_now < num_steps:
             end = min(step_now + chunk_sz, num_steps)
             # hard iteration cap: bounds the execution time of a chunk whose
@@ -339,12 +390,9 @@ class PolicyOptimizer:
                 # field, so jit keying by value-hash is unaffected)
                 object.__setattr__(self, "_measured_rate", rate)
             step_now = new_step
-        restart_costs = winner = None
-        if multi:
-            metric = carry.best_cost if self.keep_best else carry.cost_prev
-            restart_costs = metric
-            winner = jnp.argmin(jnp.where(jnp.isfinite(metric), metric, jnp.inf))
-            carry = jax.tree_util.tree_map(lambda l: l[winner], carry)
+        return carry
+
+    def _result(self, carry: "_Carry", restart_costs, winner) -> OptResult:
         return OptResult(
             restart_costs=restart_costs,
             restart_winner=winner,

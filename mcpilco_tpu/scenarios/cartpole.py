@@ -223,7 +223,14 @@ def build(cfg: CartpoleConfig, mesh=None) -> tuple:
 def swingup_success(states: np.ndarray, angle_index: int = 2, pos_index: int = 0) -> bool:
     """Success oracle: |theta| within 0.25 rad of pi and |x| < 0.5 m over the
     final quarter of the trajectory (the plot-based check of
-    log_plot_cartpole.py:65-67 made explicit)."""
+    log_plot_cartpole.py:65-67 made explicit).
+
+    Pinned decision (VERDICT r3 #6): the oracle is SIDE-AGNOSTIC — an
+    opposite-side swing-up (theta -> -pi) that is upright and centered
+    through the final quarter is a success (|theta| handles both signs, as
+    the reference plot draws both +pi and -pi target lines); one still
+    paying its swing-up transient inside the final quarter is a failure —
+    "stabilized too late" is exactly what the tail window scores."""
     tail = states[-(len(states) // 4) :]
     th_ok = np.abs(np.abs(tail[:, angle_index]) - np.pi) < 0.25
     x_ok = np.abs(tail[:, pos_index]) < 0.5

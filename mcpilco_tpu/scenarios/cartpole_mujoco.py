@@ -55,6 +55,9 @@ class CartpoleMujocoConfig:
     # ITS OWN MODEL (model one-step error is fine), so restarts — not model
     # fixes — are the matching lever.  1 = reference-faithful single init.
     num_restarts: int = 1
+    # False = sequential restart lanes reusing the compiled R=1 program
+    # (the tunneled-TPU fallback for the vmapped-R stall; trainer.py)
+    restart_vmap: bool = True
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpoleMujocoConfig":
@@ -103,6 +106,7 @@ def build(cfg: CartpoleMujocoConfig):
         alpha_diff_cost=0.99, min_diff_cost=0.08, num_min_diff_cost=200,
         min_step=200.0, lr_min=0.0025, p_drop_reduction=0.125,
         num_restarts=cfg.num_restarts,
+        restart_vmap=cfg.restart_vmap,
     )
     agent = MCPilco(
         dt=cfg.dt, model=model, gp=gp, policy=policy,

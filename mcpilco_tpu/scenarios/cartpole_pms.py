@@ -61,6 +61,9 @@ class CartpolePMSConfig:
     # zero in-model upright particles (analyze_mujoco_failures --scenario
     # pms, results/analyze_pms_modes_r3.json).  1 = reference single init.
     num_restarts: int = 1
+    # False = sequential restart lanes reusing the compiled R=1 program
+    # (the tunneled-TPU fallback for the vmapped-R stall; trainer.py)
+    restart_vmap: bool = True
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpolePMSConfig":
@@ -134,6 +137,7 @@ def build(cfg: CartpolePMSConfig):
         alpha_diff_cost=0.99, min_diff_cost=0.08, num_min_diff_cost=200,
         min_step=200.0, lr_min=0.0025, p_drop_reduction=0.125,
         num_restarts=cfg.num_restarts,
+        restart_vmap=cfg.restart_vmap,
     )
 
     agent = MCPilco(

@@ -66,6 +66,9 @@ class FurutaConfig:
     # the failing furuta seeds are optimization-mode (analyze_mujoco_failures
     # --scenario furuta), the same lever as MuJoCo.  1 = single init.
     num_restarts: int = 1
+    # False = sequential restart lanes reusing the compiled R=1 program
+    # (the tunneled-TPU fallback for the vmapped-R stall; trainer.py)
+    restart_vmap: bool = True
     log_dir: Optional[str] = None
 
     def smoke(self) -> "FurutaConfig":
@@ -142,6 +145,7 @@ def build(cfg: FurutaConfig):
         alpha_diff_cost=0.99, min_diff_cost=0.04, num_min_diff_cost=400,
         min_step=400.0, lr_min=0.001, p_drop_reduction=0.125,
         num_restarts=cfg.num_restarts,
+        restart_vmap=cfg.restart_vmap,
     )
     agent = MCPilco(
         dt=cfg.dt, model=model, gp=gp, policy=policy,

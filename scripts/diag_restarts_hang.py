@@ -30,10 +30,15 @@ def main():
     p.add_argument("--steps", type=int, default=150)
     p.add_argument("--restarts", type=int, default=4)
     p.add_argument("--chunk", type=int, default=0, help="override chunk_steps (0 = scenario default)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (the exported JAX_PLATFORMS=axon "
+                        "wins over env overrides; use jax.config like conftest)")
     args = p.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_log_compiles", True)
     log("devices:", jax.devices())
 
@@ -56,7 +61,7 @@ def main():
 
     key = jax.random.PRNGKey(42)
     log(f"starting optimize: R={opt.num_restarts}, steps={args.steps}, "
-        f"first chunk budget={opt._first_chunk_budget()}")
+        f"first chunk budget={opt._first_chunk_budget(opt.num_restarts)}")
     t0 = time.time()
     res = opt.optimize(
         key, agent.policy_params, agent.gp_params, agent.posterior,

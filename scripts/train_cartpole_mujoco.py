@@ -25,6 +25,10 @@ def main():
                    help="vmapped policy-init restarts per trial; the winner "
                         "by in-model cost is kept (default 1 = reference-"
                         "faithful single init)")
+    p.add_argument("--sequential-restarts", action="store_true",
+                   help="run restart lanes sequentially through the "
+                        "compiled R=1 program (tunneled-TPU fallback "
+                        "for the vmapped-R stall)")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the newest complete_trial* checkpoint "
                         "in the log dir (watchdog/crash recovery; no-op on "
@@ -45,6 +49,7 @@ def main():
     cfg = scen.CartpoleMujocoConfig(
         seed=args.seed, log_dir=args.log_dir or f"results_tmp/mj_{args.seed}",
         delta_cap=args.delta_cap, num_restarts=args.num_restarts,
+        restart_vmap=not args.sequential_restarts,
     )
     if args.smoke:
         cfg = cfg.smoke()

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--num-restarts", type=int, default=1,
                    help="vmapped policy-init restarts per trial; winner by "
                         "in-model cost (default 1 = single init)")
+    p.add_argument("--sequential-restarts", action="store_true",
+                   help="run restart lanes sequentially through the "
+                        "compiled R=1 program (tunneled-TPU fallback "
+                        "for the vmapped-R stall)")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the newest complete_trial* checkpoint "
                         "in the log dir (watchdog/crash recovery; no-op on "
@@ -44,6 +48,7 @@ def main():
 
     cfg = scen.CartpolePMSConfig(seed=args.seed, vel_est=args.vel_est,
                                  num_restarts=args.num_restarts,
+        restart_vmap=not args.sequential_restarts,
                                  log_dir=args.log_dir or f"results_tmp/pms_{args.seed}")
     if args.smoke:
         cfg = cfg.smoke()

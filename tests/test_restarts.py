@@ -57,6 +57,39 @@ class TestRestarts:
         best1 = float(np.min(np.asarray(r1.cost_history)[: int(r1.steps_done)]))
         np.testing.assert_allclose(float(r3.restart_costs[0]), best1, rtol=1e-6)
 
+    def test_sequential_mode_matches_vmapped_lanes(self):
+        """restart_vmap=False runs the same lanes through the compiled R=1
+        program (identical key schedule per lane via rid); lane costs and the
+        winner must match the vmapped mode to f32 refusion tolerance."""
+        optv, gp_params, post, pol_params = _opt()
+        optv = dataclasses.replace(optv, num_restarts=3)
+        opts = dataclasses.replace(optv, restart_vmap=False)
+        rv = optv.optimize(jax.random.PRNGKey(4), pol_params, gp_params, post,
+                           num_opt_steps=30, lr0=0.02, p_dropout0=0.0)
+        rs = opts.optimize(jax.random.PRNGKey(4), pol_params, gp_params, post,
+                           num_opt_steps=30, lr0=0.02, p_dropout0=0.0)
+        np.testing.assert_allclose(np.asarray(rs.restart_costs),
+                                   np.asarray(rv.restart_costs), rtol=1e-4)
+        assert int(rs.restart_winner) == int(rv.restart_winner)
+        np.testing.assert_allclose(np.asarray(rs.cost_history),
+                                   np.asarray(rv.cost_history), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(rs.policy_params),
+                        jax.tree_util.tree_leaves(rv.policy_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_sequential_mode_rejects_restart_mesh(self):
+        from mcpilco_tpu.parallel import mesh as mesh_mod
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        optv, gp_params, post, pol_params = _opt()
+        m = mesh_mod.make_restart_particle_mesh(2, 1)
+        opt = dataclasses.replace(optv, num_restarts=2, mesh=m, restart_vmap=False)
+        with pytest.raises(ValueError, match="restart_vmap"):
+            opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                         num_opt_steps=4, lr0=0.02, p_dropout0=0.0)
+
     def test_winner_is_argmin_and_histories_consistent(self):
         opt, gp_params, post, pol_params = _opt()
         opt = dataclasses.replace(opt, num_restarts=3)
@@ -120,19 +153,21 @@ class TestFirstChunkBudget:
         opt, *_ = _opt()
         opt1 = dataclasses.replace(opt, chunk_steps=500, num_restarts=1)
         opt4 = dataclasses.replace(opt, chunk_steps=500, num_restarts=4)
-        assert opt1._first_chunk_budget() == 500
-        assert opt4._first_chunk_budget() == 125
+        assert opt1._first_chunk_budget(1) == 500
+        assert opt4._first_chunk_budget(4) == 125
+        # sequential restart lanes are single-lane programs: full budget
+        assert opt4._first_chunk_budget(1) == 500
 
     def test_reuses_measured_rate_across_calls(self):
         opt, *_ = _opt()
         opt = dataclasses.replace(opt, chunk_steps=500, chunk_target_s=15.0)
         object.__setattr__(opt, "_measured_rate", 2.0)  # 2 steps/s measured
-        assert opt._first_chunk_budget() == 30  # 15 s * 2 steps/s
+        assert opt._first_chunk_budget(1) == 30  # 15 s * 2 steps/s
         # a fast program is still capped by the static budget
         object.__setattr__(opt, "_measured_rate", 1e6)
-        assert opt._first_chunk_budget() == 500
+        assert opt._first_chunk_budget(1) == 500
 
     def test_floor_of_25_steps(self):
         opt, *_ = _opt()
         opt = dataclasses.replace(opt, chunk_steps=40, num_restarts=8)
-        assert opt._first_chunk_budget() == 25
+        assert opt._first_chunk_budget(8) == 25
