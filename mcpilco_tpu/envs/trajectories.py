@@ -9,7 +9,33 @@ tracking) without shipping opaque data.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def ur5_reference_trajectory(num_steps: int = 200, dt: float = 0.02) -> np.ndarray:
+    """The reference task's actual recorded trajectory, loaded AT RUNTIME
+    from the reference checkout (it is data, not code; we do not vendor it).
+
+    test_mcpilco_ur5_mujoco.py:113 loads `envs/target_q_trajectory.csv`, a
+    200x12 array with the same [q_r(6), qd_r(6)] column layout our generated
+    trajectory uses (velocities start at 0).  Set MCPILCO_REFERENCE to the
+    checkout root (default /root/reference).  ``num_steps`` beyond the
+    recording raises; shorter horizons (smoke configs) take the prefix.
+    ``dt`` is accepted for signature parity with the generator — the
+    recording is sampled at the scenario's 50 Hz control rate.
+    """
+    root = os.environ.get("MCPILCO_REFERENCE", "/root/reference")
+    path = os.path.join(root, "envs", "target_q_trajectory.csv")
+    traj = np.genfromtxt(path, delimiter=",").astype(np.float32)
+    if traj.ndim != 2 or traj.shape[1] != 12:
+        raise ValueError(f"expected a [T, 12] trajectory at {path}, got {traj.shape}")
+    if num_steps > traj.shape[0]:
+        raise ValueError(
+            f"reference trajectory has {traj.shape[0]} steps; {num_steps} requested"
+        )
+    return traj[:num_steps]
 
 
 def ur5_joint_trajectory(

@@ -21,6 +21,18 @@ def main():
                    help="resume from the newest complete_trial* checkpoint "
                         "in the log dir (watchdog/crash recovery; no-op on "
                         "a fresh dir)")
+    # reference-parity A/B knobs (UR5Config docstrings cite the reference lines)
+    p.add_argument("--trajectory", choices=["generated", "reference"],
+                   default="generated",
+                   help="'reference' loads the reference task's recorded "
+                        "200x12 CSV at runtime from $MCPILCO_REFERENCE")
+    p.add_argument("--poly-degree", type=int, default=2,
+                   help="Volterra/poly kernel degree (reference: 1)")
+    p.add_argument("--cost-lengthscales", choices=["curriculum", "fixed"],
+                   default="curriculum",
+                   help="'fixed' = the reference's [0.5x6, 1.0x6]")
+    p.add_argument("--weight-init-scale", type=float, default=0.02,
+                   help="uniform policy weight-init half-range (reference: 1.0)")
     args = p.parse_args()
 
     if args.platform:
@@ -34,7 +46,12 @@ def main():
 
     from mcpilco_tpu.scenarios import ur5 as scen
 
-    cfg = scen.UR5Config(seed=args.seed, log_dir=args.log_dir or f"results_tmp/ur5_{args.seed}")
+    cfg = scen.UR5Config(
+        seed=args.seed, log_dir=args.log_dir or f"results_tmp/ur5_{args.seed}",
+        trajectory=args.trajectory, poly_degree=args.poly_degree,
+        cost_lengthscales=args.cost_lengthscales,
+        weight_init_scale=args.weight_init_scale,
+    )
     if args.smoke:
         cfg = cfg.smoke()
     if args.trials is not None:

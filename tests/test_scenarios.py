@@ -239,6 +239,43 @@ class TestUR5Scenario:
         e_zero = np.abs(t_zero.true[:51, :6] - traj[:51, :6]).mean()
         assert e_good < e_zero
 
+    def test_reference_trajectory_loads_at_runtime(self):
+        """The reference task's recorded trajectory (loaded from the checkout,
+        not vendored) has the generator's [q(6), qd(6)] layout and starts at
+        rest (test_mcpilco_ur5_mujoco.py:113)."""
+        import os
+
+        from mcpilco_tpu.envs.trajectories import ur5_reference_trajectory
+
+        ref = os.environ.get("MCPILCO_REFERENCE", "/root/reference")
+        if not os.path.exists(os.path.join(ref, "envs", "target_q_trajectory.csv")):
+            pytest.skip("reference checkout not available")
+        traj = ur5_reference_trajectory(num_steps=200, dt=0.02)
+        assert traj.shape == (200, 12)
+        np.testing.assert_allclose(traj[0, 6:], 0.0, atol=1e-9)
+        # prefix slicing for smoke horizons; over-length requests raise
+        assert ur5_reference_trajectory(num_steps=50).shape == (50, 12)
+        with pytest.raises(ValueError, match="200 steps"):
+            ur5_reference_trajectory(num_steps=201)
+
+    def test_parity_knob_builds(self):
+        """Each reference-parity A/B knob reaches the built objects."""
+        import dataclasses
+
+        from mcpilco_tpu.scenarios import ur5
+
+        cfg = dataclasses.replace(
+            ur5.UR5Config(seed=1).smoke(),
+            poly_degree=1, cost_lengthscales="fixed", weight_init_scale=1.0,
+        )
+        agent, _ = ur5.build(cfg)
+        assert agent.cost.per_trial is False
+        assert np.asarray(agent.cost.lengthscales).ndim == 1
+        w = np.asarray(agent.policy_params["weight"])
+        assert np.abs(w).max() > 0.5  # +-1 init, not +-0.02
+        with pytest.raises(ValueError, match="trajectory"):
+            ur5.build(dataclasses.replace(cfg, trajectory="bogus"))
+
     def test_trajectory_generator_consistency(self):
         from mcpilco_tpu.envs.trajectories import ur5_joint_trajectory
 
