@@ -302,3 +302,40 @@ class TestSummarizeResults:
                     "per_seed_cost": {"3": 11.0}})
         assert sr.arm_label(legacy, _json.loads(open(legacy).read())) \
             == "MCPILCO_LEGACY_VAR=1"
+
+
+class TestTpuHealth:
+    """wait_for_chip: the chip-readiness gate bench.py and the sweep
+    supervisor share (utils/tpu_health.py)."""
+
+    def test_succeeds_on_healthy_probe(self):
+        from mcpilco_tpu.utils.tpu_health import wait_for_chip
+
+        msgs = []
+        ok = wait_for_chip(window_s=30, probe_s=20, log=msgs.append,
+                           probe_code="print('pong')")
+        assert ok
+        assert any("chip ok" in m for m in msgs)
+
+    def test_gives_up_after_window(self):
+        from mcpilco_tpu.utils.tpu_health import wait_for_chip
+
+        msgs = []
+        ok = wait_for_chip(window_s=0.5, probe_s=5, log=msgs.append,
+                           probe_code="raise SystemExit(7)")
+        assert not ok
+        assert any("rc=7" in m for m in msgs)
+        assert any("giving up" in m.lower() for m in msgs)
+
+    def test_hung_probe_is_killed_not_waited(self):
+        import time
+
+        from mcpilco_tpu.utils.tpu_health import wait_for_chip
+
+        msgs = []
+        t0 = time.time()
+        ok = wait_for_chip(window_s=1.0, probe_s=1.0, log=msgs.append,
+                           probe_code="import time; time.sleep(60)")
+        assert not ok
+        assert time.time() - t0 < 30  # killed the probe, not waited out 60s
+        assert any("hung" in m for m in msgs)
