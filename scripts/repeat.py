@@ -279,6 +279,10 @@ def main():
     p.add_argument("--scenario", default="cartpole", choices=sorted(SCRIPTS))
     p.add_argument("--first-seed", type=int, default=1)
     p.add_argument("--num-seeds", type=int, default=50)
+    p.add_argument("--seeds", type=str, default=None,
+                   help="explicit comma-separated seed list (e.g. 5,10); "
+                        "overrides --first-seed/--num-seeds — for targeted "
+                        "re-runs of known failing seeds")
     p.add_argument("--jobs", type=int, default=1)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--smoke", action="store_true")
@@ -349,7 +353,10 @@ def main():
         extra += ["--trials", str(args.trials)]
     for flag in args.extra_flag:
         extra += flag.split("=", 1) if flag.startswith("--") and "=" in flag else [flag]
-    seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",")]
+    else:
+        seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
     results = {}
     costs = {}
     infra = set()
