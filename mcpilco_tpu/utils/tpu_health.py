@@ -33,13 +33,17 @@ def wait_for_chip(
     probe_s: float = 150.0,
     log=print,
     probe_code: str = _PROBE_CODE,
+    env: dict | None = None,
 ) -> bool:
     """Block until a subprocess can run a trivial device execution.
 
     Returns True when the chip answered, False when the window expired.
     ``window_s`` defaults past the ~25-min stale-claim expiry; ``probe_s``
     bounds each probe (compile of the probe op is sub-second; generous slack
-    for tunnel latency).
+    for tunnel latency).  ``env`` overrides the probe subprocess environment —
+    the tunneled runtime's sitecustomize claims the chip at interpreter start
+    when ``PALLAS_AXON_POOL_IPS`` is set, so hermetic callers (unit tests)
+    must strip it or their probe blocks on whoever holds the chip.
     """
     if window_s <= 0:
         return True
@@ -51,7 +55,7 @@ def wait_for_chip(
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe_code],
-                timeout=probe_s, capture_output=True, text=True,
+                timeout=probe_s, capture_output=True, text=True, env=env,
             )
             if r.returncode == 0:
                 log(f"[tpu-health] chip ok (attempt {attempt}, {time.time() - t0:.0f}s)")

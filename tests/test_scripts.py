@@ -306,14 +306,25 @@ class TestSummarizeResults:
 
 class TestTpuHealth:
     """wait_for_chip: the chip-readiness gate bench.py and the sweep
-    supervisor share (utils/tpu_health.py)."""
+    supervisor share (utils/tpu_health.py).
+
+    Probes run with a hermetic env (no PALLAS_AXON_POOL_IPS): with it set,
+    the axon sitecustomize claims the chip at interpreter start, so these
+    unit probes would block on whichever real sweep holds the chip."""
+
+    @staticmethod
+    def _env():
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+        env["JAX_PLATFORMS"] = "cpu"
+        return env
 
     def test_succeeds_on_healthy_probe(self):
         from mcpilco_tpu.utils.tpu_health import wait_for_chip
 
         msgs = []
         ok = wait_for_chip(window_s=30, probe_s=20, log=msgs.append,
-                           probe_code="print('pong')")
+                           probe_code="print('pong')", env=self._env())
         assert ok
         assert any("chip ok" in m for m in msgs)
 
@@ -322,7 +333,7 @@ class TestTpuHealth:
 
         msgs = []
         ok = wait_for_chip(window_s=0.5, probe_s=5, log=msgs.append,
-                           probe_code="raise SystemExit(7)")
+                           probe_code="raise SystemExit(7)", env=self._env())
         assert not ok
         assert any("rc=7" in m for m in msgs)
         assert any("giving up" in m.lower() for m in msgs)
@@ -335,7 +346,8 @@ class TestTpuHealth:
         msgs = []
         t0 = time.time()
         ok = wait_for_chip(window_s=1.0, probe_s=1.0, log=msgs.append,
-                           probe_code="import time; time.sleep(60)")
+                           probe_code="import time; time.sleep(60)",
+                           env=self._env())
         assert not ok
         assert time.time() - t0 < 30  # killed the probe, not waited out 60s
         assert any("hung" in m for m in msgs)
