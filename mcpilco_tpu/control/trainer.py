@@ -189,9 +189,14 @@ class PolicyOptimizer:
     #    outside the cond (the round-3 farm lesson — a rollout-sized cond
     #    branch cost 2.7x per seed).
     #  * "where": the round-3 computed-merge structure, kept as A/B control.
-    # Both styles keep the exact same key/retry/reinit schedule; carries
-    # agree to f32 XLA-refusion noise (~1 ulp/step — the cond boundary
-    # changes fusion), tested in tests/test_rollout_trainer.py.
+    #  * "off": NO NaN protection at all — the body is the bare healthy-step
+    #    update.  Measurement ablation ONLY (scripts/bench_attrib.py uses it
+    #    to price the guard structure on the real chip); a NaN rollout
+    #    poisons the run irrecoverably, so never ship a config with it.
+    # The two real styles keep the exact same key/retry/reinit schedule;
+    # carries agree to f32 XLA-refusion noise (~1 ulp/step — the cond
+    # boundary changes fusion), tested in tests/test_rollout_trainer.py
+    # ("off" matches them bit-for-bit on NaN-free runs, same test).
     nan_branch_style: str = "cond"
     # Multi-restart policy optimization (beyond-parity; the reference always
     # optimizes a single policy init).  R > 1 vmaps R independent lanes of
@@ -362,6 +367,7 @@ class PolicyOptimizer:
         """Host-driven chunked execution of the compiled loop (see optimize)."""
         chunk_sz = self._first_chunk_budget(lanes)
         step_now = int(jnp.min(carry.step))
+        chunk_index = 0
         while step_now < num_steps:
             end = min(step_now + chunk_sz, num_steps)
             # hard iteration cap: bounds the execution time of a chunk whose
@@ -386,10 +392,18 @@ class PolicyOptimizer:
                 # chunk corrects.
                 rate = max(new_step - step_now, 1) / max(time.perf_counter() - t0, 1e-6)
                 chunk_sz = max(25, int(self.chunk_target_s * rate))
-                # remembered across optimize() calls (frozen dataclass: not a
-                # field, so jit keying by value-hash is unaffected)
-                object.__setattr__(self, "_measured_rate", rate)
+                # Remembered across optimize() calls (frozen dataclass: not a
+                # field, so jit keying by value-hash is unaffected).  The
+                # FIRST chunk of a call is never stored: it may include a
+                # fresh compile (20-40s), and a compile-poisoned rate shrinks
+                # the NEXT call's first chunk to the 25-step floor, splitting
+                # short runs into extra tunneled host round-trips (~0.4
+                # ms/step on bench.py's 300-step capture).  Within-call
+                # adaptation still uses it — biased low is the safe direction.
+                if chunk_index > 0:
+                    object.__setattr__(self, "_measured_rate", rate)
             step_now = new_step
+            chunk_index += 1
         return carry
 
     def _result(self, carry: "_Carry", restart_costs, winner) -> OptResult:
@@ -647,6 +661,12 @@ class PolicyOptimizer:
                     states=keep_old(c.states, states),
                     inputs=keep_old(c.inputs, inputs),
                 )
+
+            if self.nan_branch_style == "off":
+                # bare healthy update: every keep_old() elides at trace time
+                # and is_nan is dead code (measurement ablation — see the
+                # dataclass field docs; NaN rollouts poison the run)
+                return advance(c, False)
 
             if self.nan_branch_style == "cond":
 

@@ -299,22 +299,47 @@ class TestPolicyOptimizer:
         """The "cond" NaN-branch style (healthy carry update inside lax.cond,
         the fast unvmapped path) must reproduce the round-3 "where" style
         bit-for-bit on a healthy run — keep_old() elides selects whose
-        predicate is False, which is a bitwise identity."""
+        predicate is False, which is a bitwise identity.  The "off"
+        measurement ablation (no guard at all) must agree too: on a NaN-free
+        run all three bodies compute the same update."""
         import dataclasses
 
         opt, gp_params, post, pol_params = self._opt()
         assert opt.nan_branch_style == "cond"
-        opt_where = dataclasses.replace(opt, nan_branch_style="where")
         r1 = opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
                           num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
-        r2 = opt_where.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
-                                num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
-        assert int(r1.steps_done) == int(r2.steps_done)
-        np.testing.assert_allclose(np.asarray(r1.cost_history),
-                                   np.asarray(r2.cost_history), rtol=1e-4)
-        for a, b in zip(jax.tree_util.tree_leaves(r1.policy_params),
-                        jax.tree_util.tree_leaves(r2.policy_params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+        for style in ("where", "off"):
+            o2 = dataclasses.replace(opt, nan_branch_style=style)
+            r2 = o2.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                             num_opt_steps=25, lr0=0.02, p_dropout0=0.0)
+            assert int(r1.steps_done) == int(r2.steps_done), style
+            np.testing.assert_allclose(np.asarray(r1.cost_history),
+                                       np.asarray(r2.cost_history), rtol=1e-4)
+            for a, b in zip(jax.tree_util.tree_leaves(r1.policy_params),
+                            jax.tree_util.tree_leaves(r2.policy_params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-3, atol=1e-5)
+
+    def test_measured_rate_not_stored_from_first_chunk(self):
+        """The cross-call `_measured_rate` memory must never be written by a
+        call's FIRST chunk (it can include a fresh compile, and a poisoned
+        rate shrinks the next call's first chunk to the 25-step floor —
+        bench.py's 300-step capture then splits into extra tunneled host
+        round-trips).  A single-chunk call therefore stores nothing; a
+        multi-chunk call stores the steady-state rate from chunk 2 on."""
+        opt, gp_params, post, pol_params = self._opt()
+        # single chunk: 10 steps inside the default 500-step first budget
+        opt.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                     num_opt_steps=10, lr0=0.02, p_dropout0=0.0)
+        assert getattr(opt, "_measured_rate", None) is None
+        # multi chunk: the first budget clamps to the 25-step floor, so a
+        # 30-step run forces a second chunk
+        import dataclasses
+
+        opt2 = dataclasses.replace(self._opt()[0], chunk_steps=5)
+        opt2.optimize(jax.random.PRNGKey(0), pol_params, gp_params, post,
+                      num_opt_steps=30, lr0=0.02, p_dropout0=0.0)
+        assert getattr(opt2, "_measured_rate", None) is not None
 
     def test_nan_branch_styles_identical_under_nans(self):
         """Stochastic NaN injection exercises all three paths (advance, retry
