@@ -90,6 +90,9 @@ def main():
     p.add_argument("--scenario", default="mujoco", choices=("mujoco", "furuta", "pms"))
     p.add_argument("--root", default="results_tmp")
     p.add_argument("--seeds", default=None, help="comma list; default: all run dirs")
+    p.add_argument("--tag", default=None,
+                   help="sweep out-tag infix (repeat.py --out-tag): run dirs "
+                        "are <prefix>_<tag>_<seed> instead of <prefix>_<seed>")
     p.add_argument("--platform", default=None)
     p.add_argument("--json", default=None)
     args = p.parse_args()
@@ -103,6 +106,8 @@ def main():
 
     spec = _scenarios()[args.scenario]
     scen, prefix, upright = spec["mod"], spec["prefix"], spec["upright"]
+    if args.tag:
+        prefix = f"{prefix}_{args.tag}"
 
     if args.seeds:
         seeds = [int(s) for s in args.seeds.split(",")]
