@@ -73,6 +73,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from mcpilco_tpu.control.mc_pilco import ModelFitOptions
     from mcpilco_tpu.scenarios import cartpole as scen
     from mcpilco_tpu.utils import prng

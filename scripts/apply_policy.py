@@ -87,6 +87,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax
     import jax.numpy as jnp
+
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import numpy as np
 
     from mcpilco_tpu.utils import prng

@@ -37,6 +37,10 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
 
     from mcpilco_tpu.control.mc_pilco import ModelFitOptions

@@ -20,6 +20,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from mcpilco_tpu.control.mc_pilco import ModelFitOptions, PolicyOptOptions
     from mcpilco_tpu.parallel.multiseed import SeedFarm
     from mcpilco_tpu.scenarios import cartpole as scen

@@ -34,6 +34,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

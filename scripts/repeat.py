@@ -209,6 +209,10 @@ def run_farm(args, seeds=None, results=None, costs=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from mcpilco_tpu.parallel.multiseed import SeedFarm

@@ -37,6 +37,10 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
+    from mcpilco_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import dataclasses
 
     import numpy as np
