@@ -30,15 +30,30 @@ def test_env_optout(monkeypatch):
 
 def test_populates_cache_dir(tmp_path, monkeypatch):
     # simulate a fresh process: temporarily clear the configured dir
+    from jax._src import compilation_cache
+
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         jax.config.update("jax_compilation_cache_dir", None)
         d = str(tmp_path / "jit")
         assert enable_persistent_cache(d) == d
+        # JAX freezes the cache backend object at first use; once the suite
+        # has compiled anything under conftest's dir, repointing the config
+        # alone is a no-op — drop the frozen instance so the next compile
+        # picks up the new dir
+        compilation_cache.reset_cache()
         # a warm in-process compile can beat enable()'s 0.1 s persistence
         # threshold; force every compile to persist for this check
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.jit(lambda x: (x @ x).sum())(jnp.ones((32, 32))).block_until_ready()
+        # the computation must be unique to this test: an HLO already
+        # compiled earlier in the suite is served from the in-process cache
+        # and never written to the fresh dir
+        jax.jit(lambda x: (x @ x.T * 1.00042).sum())(
+            jnp.ones((37, 29))
+        ).block_until_ready()
         assert os.listdir(d)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        compilation_cache.reset_cache()
