@@ -366,7 +366,10 @@ class PolicyOptimizer:
     ) -> "_Carry":
         """Host-driven chunked execution of the compiled loop (see optimize)."""
         chunk_sz = self._first_chunk_budget(lanes)
-        step_now = int(jnp.min(carry.step))
+        # the carry comes straight from _optimize_init, whose step counter is
+        # zero by construction — reading it back here would cost a device
+        # sync (a full RPC round-trip on tunneled runtimes) per optimize()
+        step_now = 0
         chunk_index = 0
         while step_now < num_steps:
             end = min(step_now + chunk_sz, num_steps)
