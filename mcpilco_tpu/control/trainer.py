@@ -35,6 +35,7 @@ resets on reduction is equivalent.)
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from functools import partial
 from typing import NamedTuple, Optional
@@ -361,6 +362,37 @@ class PolicyOptimizer:
             carry = jax.tree_util.tree_map(lambda l: l[winner], carry)
         return self._result(carry, restart_costs, winner)
 
+    @staticmethod
+    def _heartbeat(label: str, every_s: float = 120.0, budget_s: float = 2700.0):
+        """Emit liveness lines while a blocking device call is in flight.
+
+        Output-based stall watchdogs (scripts/repeat.py) cannot distinguish
+        "first chunk of a new program shape is compiling on the device" from
+        "the dispatch hung": both are silence at the Python level.  Observed
+        on the UR5 trial-0 policy opt (rounds 3-4): its first chunk exceeds
+        every reasonable stall window, so the watchdog repeatedly killed the
+        client mid-call — which wedges tunneled TPU runtimes for ~25 min.
+        A daemon thread printing a bounded heartbeat keeps the watchdog fed
+        through legitimate compiles; after ``budget_s`` it goes silent so a
+        truly hung call is still detected and killed.  Returns a stop()
+        callable."""
+        stop_evt = threading.Event()
+        t0 = time.perf_counter()
+
+        def beat():
+            while not stop_evt.wait(every_s):
+                elapsed = time.perf_counter() - t0
+                if elapsed > budget_s:
+                    return
+                print(
+                    f"[trainer] {label}: device call in flight {int(elapsed)}s "
+                    "(first-chunk compile can take minutes)",
+                    flush=True,
+                )
+
+        threading.Thread(target=beat, daemon=True, name="chunk-heartbeat").start()
+        return stop_evt.set
+
     def _drive_chunks(
         self, carry, key, gp_params, posterior, num_steps, trial_index, *, multi, lanes
     ) -> "_Carry":
@@ -380,10 +412,18 @@ class PolicyOptimizer:
             )
             t0 = time.perf_counter()
             step_fn = self._optimize_chunk_multi if multi else self._optimize_chunk
-            carry = step_fn(
-                carry, key, gp_params, posterior, jnp.int32(end), iter_end, trial_index
+            stop_beat = (
+                self._heartbeat(f"optimize chunk 0 (trial {trial_index})")
+                if chunk_index == 0 else None
             )
-            done = bool(jnp.all(carry.done))  # device sync; times the chunk
+            try:
+                carry = step_fn(
+                    carry, key, gp_params, posterior, jnp.int32(end), iter_end, trial_index
+                )
+                done = bool(jnp.all(carry.done))  # device sync; times the chunk
+            finally:
+                if stop_beat is not None:
+                    stop_beat()
             if done:
                 break
             new_step = int(jnp.min(carry.step))

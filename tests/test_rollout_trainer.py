@@ -495,3 +495,28 @@ class TestSOD:
         sel = np.asarray(sod_mod.select(gp, cfg, params, data.x, data.y, data.mask))
         assert sel.shape == (2, cap)
         assert sel[:, n:].sum() == 0  # padding never selected
+
+
+class TestHeartbeat:
+    """First-chunk compile heartbeat (trainer._heartbeat): keeps output-based
+    stall watchdogs fed during legitimate long device compiles, bounded so a
+    truly hung call still goes silent and gets killed."""
+
+    def test_prints_while_in_flight_then_stops(self, capsys):
+        import time as _time
+
+        stop = PolicyOptimizer._heartbeat("unit", every_s=0.02, budget_s=10)
+        _time.sleep(0.15)
+        stop()
+        out = capsys.readouterr().out
+        assert "device call in flight" in out
+        _time.sleep(0.1)
+        assert "device call in flight" not in capsys.readouterr().out
+
+    def test_budget_expiry_goes_silent(self, capsys):
+        import time as _time
+
+        stop = PolicyOptimizer._heartbeat("unit", every_s=0.02, budget_s=0.0)
+        _time.sleep(0.15)
+        stop()
+        assert "device call in flight" not in capsys.readouterr().out
