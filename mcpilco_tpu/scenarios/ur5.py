@@ -130,8 +130,18 @@ def build(cfg: UR5Config):
     init_dist = InitialStateDistribution(
         kind="gaussian", mean=target_traj[0], var=1e-6 * np.ones(STATE_DIM)
     )
-    # long-horizon (200-step) BPTT: cap cotangents (see rollout._clip_bptt)
-    engine = RolloutEngine(model=model, gp=gp, policy=policy, remat=True, bptt_clip=1.0)
+    # long-horizon (200-step) BPTT: cap cotangents (see rollout._clip_bptt).
+    # delta_cap: the trial-0 dataset covers one PD exploration, and a
+    # wandering initial policy takes particles far outside that support,
+    # where the Poly(2) member extrapolates quadratically — measured on the
+    # seed-2 trial-0 checkpoint: particle states grow 1 -> 1.4e3 by step 100
+    # and go NaN at step 108, turning the whole first policy-opt chunk into
+    # a NaN-retry storm (RESULTS.md round 4).  Same lever and value as the
+    # furuta scenario's semiparametric explosion fix; cap in units of the
+    # max-abs training delta (Posterior.norm).
+    engine = RolloutEngine(
+        model=model, gp=gp, policy=policy, remat=True, bptt_clip=1.0, delta_cap=3.0
+    )
     optimizer = PolicyOptimizer(
         engine=engine, cost=cost, init_dist=init_dist,
         num_particles=cfg.num_particles, horizon=num_steps,
