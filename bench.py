@@ -58,7 +58,9 @@ def _preflight_tpu():
         os.environ.get("BENCH_PREFLIGHT_WINDOW_S",
                        os.environ.get("MCPILCO_CHIP_WAIT_S", "2100"))
     )
-    probe_s = float(os.environ.get("BENCH_PREFLIGHT_PROBE_S", "150"))
+    # healthy probes take 92-117 s on the tunneled runtime; a bound near
+    # that kills probes mid-execution, which is itself the wedge trigger
+    probe_s = float(os.environ.get("BENCH_PREFLIGHT_PROBE_S", "270"))
     if not wait_for_chip(window_s, probe_s, log=log):
         log(f"[bench] preflight FAILED for {window_s:.0f}s — "
             "TPU runtime unreachable; exiting 4")

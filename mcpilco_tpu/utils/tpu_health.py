@@ -24,13 +24,20 @@ import sys
 import time
 
 # a real (small) device execution, not just backend registration —
-# jax.devices() can succeed while executions still hang
-_PROBE_CODE = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
+# jax.devices() can succeed while executions still hang.  The probe prints
+# stage markers so a timed-out probe's partial stdout tells WAITING (no
+# marker: safe to kill) apart from EXECUTING (killing one of those is the
+# documented wedge trigger — the log line lets the operator see which).
+_PROBE_CODE = (
+    "import sys, jax, jax.numpy as jnp; "
+    "print('backend-up', flush=True); "
+    "print(float(jnp.ones((8, 8)).sum()))"
+)
 
 
 def wait_for_chip(
     window_s: float = 2100.0,
-    probe_s: float = 150.0,
+    probe_s: float = 270.0,
     log=print,
     probe_code: str = _PROBE_CODE,
     env: dict | None = None,
@@ -39,8 +46,11 @@ def wait_for_chip(
 
     Returns True when the chip answered, False when the window expired.
     ``window_s`` defaults past the ~25-min stale-claim expiry; ``probe_s``
-    bounds each probe (compile of the probe op is sub-second; generous slack
-    for tunnel latency).  ``env`` overrides the probe subprocess environment —
+    bounds each probe.  HEALTHY probes measure 92-117 s end-to-end on the
+    tunneled runtime (interpreter + backend bring-up dominates, not the op),
+    so the bound must sit well above that: a probe killed after it reached
+    the device is itself the wedge trigger.  Timed-out probes log whether
+    they were still waiting for the claim (safe kill) or mid-execution.  ``env`` overrides the probe subprocess environment —
     the tunneled runtime's sitecustomize claims the chip at interpreter start
     when ``PALLAS_AXON_POOL_IPS`` is set, so hermetic callers (unit tests)
     must strip it or their probe blocks on whoever holds the chip.
@@ -62,9 +72,11 @@ def wait_for_chip(
                 return True
             tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
             log(f"[tpu-health] probe attempt {attempt} rc={r.returncode}: {tail[0]}")
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stage = "mid-execution" if "backend-up" in out else "waiting for the claim"
             log(f"[tpu-health] probe attempt {attempt} hung >{probe_s:.0f}s "
-                "(stale or stuck remote claim) — probe killed, waiting for expiry")
+                f"({stage}) — probe killed, waiting for expiry")
         remaining = deadline - time.time()
         if remaining <= 0:
             log(f"[tpu-health] chip unreachable for {window_s:.0f}s — giving up")
