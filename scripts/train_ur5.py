@@ -21,18 +21,22 @@ def main():
                    help="resume from the newest complete_trial* checkpoint "
                         "in the log dir (watchdog/crash recovery; no-op on "
                         "a fresh dir)")
-    # reference-parity A/B knobs (UR5Config docstrings cite the reference lines)
+    # reference-parity knobs (UR5Config docstrings cite the reference lines;
+    # defaults = the reference values since the round-4 deviation A/Bs)
     p.add_argument("--trajectory", choices=["generated", "reference"],
                    default="generated",
                    help="'reference' loads the reference task's recorded "
                         "200x12 CSV at runtime from $MCPILCO_REFERENCE")
-    p.add_argument("--poly-degree", type=int, default=2,
+    p.add_argument("--poly-degree", type=int, default=1,
                    help="Volterra/poly kernel degree (reference: 1)")
     p.add_argument("--cost-lengthscales", choices=["curriculum", "fixed"],
-                   default="curriculum",
+                   default="fixed",
                    help="'fixed' = the reference's [0.5x6, 1.0x6]")
-    p.add_argument("--weight-init-scale", type=float, default=0.02,
+    p.add_argument("--weight-init-scale", type=float, default=1.0,
                    help="uniform policy weight-init half-range (reference: 1.0)")
+    p.add_argument("--delta-cap", type=float, default=3.0,
+                   help="rollout delta clamp in units of the max-abs training "
+                        "delta; <=0 disables (no reference equivalent)")
     args = p.parse_args()
 
     if args.platform:
@@ -55,6 +59,7 @@ def main():
         trajectory=args.trajectory, poly_degree=args.poly_degree,
         cost_lengthscales=args.cost_lengthscales,
         weight_init_scale=args.weight_init_scale,
+        delta_cap=args.delta_cap if args.delta_cap > 0 else None,
     )
     if args.smoke:
         cfg = cfg.smoke()
