@@ -100,6 +100,30 @@ def run_seed(scenario, seed, extra, platform, tag=""):
 # liveness heartbeat (the trainer prints every ~15 s chunk, GP fits every
 # trial, so hundreds of seconds of silence means a stuck device call).
 WATCHDOG_EXIT_CODE = 87  # distinct from task/infra failures: "stalled, re-run with --resume"
+STOP_EXIT_CODE = 86  # deliberate stop-file exit at a seed/batch boundary
+
+
+def _stop_path(args):
+    return _summary_path(args).replace(".json", ".STOP")
+
+
+def _check_stop(args):
+    """Graceful stop: `touch results_tmp/repeat_<scenario>[_<tag>].STOP` and
+    the sweep exits at the next seed/batch boundary — i.e. on the host,
+    never mid-device-execution (killing a tunneled-TPU client inside a
+    device call wedges the runtime for ~25 min).  The file is consumed so
+    the next launch runs normally; the partial summary supports --resume.
+    Sequential/in-process and farm sweeps only (--jobs>1 is not covered)."""
+    path = _stop_path(args)
+    if not os.path.exists(path):
+        return False
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+    print(f"[repeat] STOP file {path} — exiting at boundary "
+          f"(resume with --resume)", flush=True)
+    return True
 _WATCH = {"buf": None, "buf_id": None, "pos": -1, "t": 0.0,
           "seed": None, "scenario": None, "tag": ""}
 
@@ -241,6 +265,8 @@ def run_farm(args, seeds=None, results=None, costs=None):
     if seeds is None:
         seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
     for lo in range(0, len(seeds), args.farm_batch):
+        if _check_stop(args):
+            raise SystemExit(STOP_EXIT_CODE)
         batch = seeds[lo : lo + args.farm_batch]
         cfg = make_cfg(seed=batch[0])
         if args.smoke:
@@ -390,6 +416,8 @@ def main():
     else:
         runner = run_seed_inprocess if args.in_process else run_seed
         for s in seeds:
+            if _check_stop(args):
+                return STOP_EXIT_CODE
             seed, ok, rc, cost, inf = runner(args.scenario, s, extra, args.platform, args.out_tag)
             results[seed] = ok
             costs[seed] = cost
@@ -435,6 +463,10 @@ def _supervise(args):
         rc = subprocess.call([sys.executable, os.path.abspath(__file__)] + argv, env=env)
         if rc == 0:
             print("[repeat-supervisor] sweep complete", flush=True)
+            return 0
+        if rc == STOP_EXIT_CODE:
+            print("[repeat-supervisor] sweep stopped via STOP file — "
+                  "not relaunching", flush=True)
             return 0
         print(f"[repeat-supervisor] child exited rc={rc}", flush=True)
         if attempt == args.supervise:

@@ -30,12 +30,12 @@ ALL_SCRIPTS = [
 ]
 
 
-def _run(args, timeout=600):
+def _run(args, timeout=600, cwd=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-u"] + args, capture_output=True, text=True,
-        timeout=timeout, cwd=HERE, env=env,
+        timeout=timeout, cwd=cwd or HERE, env=env,
     )
 
 
@@ -208,6 +208,43 @@ class TestRepeatResumeAndWatchdog:
             assert repeat._load_resume(args2) == ({}, {})
         finally:
             _os.chdir(cwd)
+
+    def test_stop_file_consumed_at_boundary(self, tmp_path):
+        """Graceful stop: a STOP file makes the sweep exit at the next seed
+        boundary (host-side, never mid-device-execution) and is consumed so
+        the next launch runs normally."""
+        repeat = self._mod()
+        import argparse as ap
+        import os as _os
+
+        cwd = _os.getcwd()
+        try:
+            _os.chdir(tmp_path)
+            args = ap.Namespace(scenario="mj", out_tag="r4")
+            assert repeat._check_stop(args) is False
+            _os.makedirs("results_tmp")
+            open(repeat._stop_path(args), "w").close()
+            assert repeat._check_stop(args) is True
+            assert not _os.path.exists(repeat._stop_path(args))  # consumed
+            assert repeat._check_stop(args) is False
+        finally:
+            _os.chdir(cwd)
+
+    def test_stop_file_exits_86_before_any_seed(self, tmp_path):
+        """End-to-end: a pre-existing STOP file stops the sweep with the
+        distinct exit code before any seed runs."""
+        import os as _os
+
+        _os.makedirs(tmp_path / "results_tmp", exist_ok=True)
+        open(tmp_path / "results_tmp" / "repeat_cartpole.STOP", "w").close()
+        r = _run(
+            [os.path.join(SCRIPTS, "repeat.py"), "--scenario", "cartpole",
+             "--num-seeds", "1", "--smoke", "--in-process", "--platform", "cpu"],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 86, (r.stdout[-500:], r.stderr[-500:])
+        assert "STOP file" in r.stdout
+        assert "success_rate" not in r.stdout  # no seed ran
 
     def test_watchdog_kills_stalled_process(self):
         """End-to-end in a subprocess: a buffer that never grows must get the
