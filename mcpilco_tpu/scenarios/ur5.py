@@ -43,10 +43,15 @@ class UR5Config:
     gp_epochs: int = 2001
     traj_amplitude: float = 0.6
     # ---- reference-parity knobs (VERDICT r3 #3/#4).  Round-4 A/Bs
-    # (RESULTS.md "UR5 deviation A/Bs") showed every reference value
-    # succeeds, so the shipped defaults below ARE the reference values
-    # (test_mcpilco_ur5_mujoco.py:102,145,158-162); the former deviating
-    # values remain one flag away. ----
+    # (RESULTS.md "UR5 deviation A/Bs"): every reference value succeeds
+    # ALONE, but the full combination fails 1/5 (the +-1 init starts the
+    # policy outside the narrow fixed-lengthscale gradient tube — the
+    # deviations were jointly load-bearing).  Shipped defaults = the
+    # minimal-deviation winner "C1": poly_deg and cost lengthscales at the
+    # reference values (test_mcpilco_ur5_mujoco.py:102,158-162), weight
+    # init +-0.02 as the ONE retained deviation (vs the reference's +-1,
+    # :145) — C1 tracks ~20x tighter than retaining the curriculum
+    # instead (0.149 vs 2.93 final cost, seed 1). ----
     # "generated" = our quintic multi-sine; "reference" = the reference
     # task's recorded 200x12 CSV loaded at runtime from $MCPILCO_REFERENCE
     # (test_mcpilco_ur5_mujoco.py:113).  "generated" stays default only
@@ -58,8 +63,9 @@ class UR5Config:
     # "fixed" = the reference's [0.5 x6, 1.0 x6]; "curriculum" = the former
     # per-trial [2,4] -> [0.5,1] widening
     cost_lengthscales: str = "fixed"
-    # reference draws policy weights uniform +-1
-    weight_init_scale: float = 1.0
+    # reference draws policy weights uniform +-1; +-0.02 is the one
+    # retained deviation (see the dataclass comment above)
+    weight_init_scale: float = 0.02
     # rollout delta clamp in units of the max-abs training delta; no
     # reference equivalent — introduced when the shipped config ran Poly(2)
     # (trial-0 NaN explosion at step 108, RESULTS.md round 4), retained as

@@ -32,8 +32,10 @@ def main():
     p.add_argument("--cost-lengthscales", choices=["curriculum", "fixed"],
                    default="fixed",
                    help="'fixed' = the reference's [0.5x6, 1.0x6]")
-    p.add_argument("--weight-init-scale", type=float, default=1.0,
-                   help="uniform policy weight-init half-range (reference: 1.0)")
+    p.add_argument("--weight-init-scale", type=float, default=0.02,
+                   help="uniform policy weight-init half-range (reference: "
+                        "1.0; the +-0.02 default is the one retained "
+                        "deviation — the reference combination fails 1/5)")
     p.add_argument("--delta-cap", type=float, default=3.0,
                    help="rollout delta clamp in units of the max-abs training "
                         "delta; <=0 disables (no reference equivalent)")

@@ -266,24 +266,26 @@ class TestUR5Scenario:
         from mcpilco_tpu.scenarios import ur5
 
         cfg = ur5.UR5Config(seed=1).smoke()
+        # minimal-deviation defaults: reference poly_deg + fixed lengthscales,
+        # +-0.02 weight init as the one retained deviation
         assert cfg.poly_degree == 1
         assert cfg.cost_lengthscales == "fixed"
-        assert cfg.weight_init_scale == 1.0
+        assert cfg.weight_init_scale == 0.02
         agent, _ = ur5.build(cfg)
         assert agent.cost.per_trial is False
         assert np.asarray(agent.cost.lengthscales).ndim == 1
         w = np.asarray(agent.policy_params["weight"])
-        assert np.abs(w).max() > 0.5  # +-1 init, not +-0.02
-        # former-deviation values still reach the built objects
+        assert np.abs(w).max() <= 0.02 + 1e-9
+        # non-default values still reach the built objects
         cfg2 = dataclasses.replace(
             cfg, poly_degree=2, cost_lengthscales="curriculum",
-            weight_init_scale=0.02, delta_cap=None,
+            weight_init_scale=1.0, delta_cap=None,
         )
         agent2, _ = ur5.build(cfg2)
         assert agent2.cost.per_trial is True
         assert np.asarray(agent2.cost.lengthscales).ndim == 2
         w2 = np.asarray(agent2.policy_params["weight"])
-        assert np.abs(w2).max() <= 0.02 + 1e-9
+        assert np.abs(w2).max() > 0.5  # the reference's +-1 init
         with pytest.raises(ValueError, match="trajectory"):
             ur5.build(dataclasses.replace(cfg, trajectory="bogus"))
 
