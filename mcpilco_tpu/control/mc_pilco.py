@@ -602,8 +602,47 @@ class MCPilco:
         if not dirs:
             return 0
         latest = max(dirs, key=lambda d: int(re.search(r"(\d+)$", d).group(1)))
+        self._check_resume_config(latest)
         self.load_checkpoint(latest)
         return len(self.trial_logs)
+
+    def _check_resume_config(self, path: str) -> None:
+        """Refuse to auto-resume from a checkpoint written under a DIFFERENT
+        scenario config: seed log dirs persist across sweep invocations, so
+        resuming after a config or code-default change would silently replay
+        stale state as a fresh sample (or crash on a shape mismatch deep in
+        load).  Compares the JSON-normalized scenario config stored in the
+        checkpoint meta against the current one, ignoring ``log_dir`` (pure
+        bookkeeping).  No-op when either side carries no scenario config."""
+        import json as _json
+
+        if self.scenario_config is None:
+            return
+        stored = ckpt.peek_meta(path).get("scenario")
+        if not stored:
+            return
+        current = _json.loads(
+            _json.dumps(
+                {"name": self.scenario_name, "config": dataclasses.asdict(self.scenario_config)},
+                default=str,
+            )
+        )
+        for side in (stored, current):
+            side.get("config", {}).pop("log_dir", None)
+        if stored != current:
+            diffs = [
+                f"{k}: checkpoint={stored.get('config', {}).get(k)!r} "
+                f"current={current.get('config', {}).get(k)!r}"
+                for k in sorted(set(stored.get("config", {})) | set(current.get("config", {})))
+                if stored.get("config", {}).get(k) != current.get("config", {}).get(k)
+            ]
+            if stored.get("name") != current.get("name"):
+                diffs.insert(0, f"scenario: {stored.get('name')!r} vs {current.get('name')!r}")
+            raise RuntimeError(
+                f"auto-resume refused: checkpoint {path} was written under a "
+                f"different scenario config ({'; '.join(diffs) or 'structural change'}). "
+                "Delete the stale log dir (or re-run without --auto-resume) to start fresh."
+            )
 
     def save_checkpoint(self, stage: str) -> None:
         if not self.log_dir:

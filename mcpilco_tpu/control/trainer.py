@@ -35,6 +35,7 @@ resets on reduction is equivalent.)
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 import time
 from functools import partial
@@ -362,8 +363,18 @@ class PolicyOptimizer:
             carry = jax.tree_util.tree_map(lambda l: l[winner], carry)
         return self._result(carry, restart_costs, winner)
 
+    # process-level flag: has ANY optimize() chunk 0 completed yet?  The
+    # first call of a process may genuinely compile for tens of minutes
+    # (fresh cache, new program shape); after one completion the persistent
+    # jit cache is warm and later chunk-0 silences are far more likely the
+    # known deterministic first-chunk hang, so the heartbeat budget shrinks
+    # and the stall watchdog detects it in ~minutes instead of ~an hour
+    # (ADVICE r4).  Class attribute, not a field: the dataclass is frozen
+    # and jit-keyed by value-hash.
+    _chunk0_completed_in_process = False
+
     @staticmethod
-    def _heartbeat(label: str, every_s: float = 120.0, budget_s: float = 2700.0):
+    def _heartbeat(label: str, every_s: float = 120.0, budget_s: Optional[float] = None):
         """Emit liveness lines while a blocking device call is in flight.
 
         Output-based stall watchdogs (scripts/repeat.py) cannot distinguish
@@ -374,8 +385,17 @@ class PolicyOptimizer:
         client mid-call — which wedges tunneled TPU runtimes for ~25 min.
         A daemon thread printing a bounded heartbeat keeps the watchdog fed
         through legitimate compiles; after ``budget_s`` it goes silent so a
-        truly hung call is still detected and killed.  Returns a stop()
-        callable."""
+        truly hung call is still detected and killed.  Default budget: 2700 s
+        for the first optimize() of the process (cold cache), 600 s once any
+        chunk 0 has completed (warm cache — bucket-size recompiles are much
+        shorter than cold compiles); override with MCPILCO_HEARTBEAT_BUDGET.
+        Returns a stop() callable."""
+        if budget_s is None:
+            env = os.environ.get("MCPILCO_HEARTBEAT_BUDGET")
+            if env is not None:
+                budget_s = float(env)
+            else:
+                budget_s = 600.0 if PolicyOptimizer._chunk0_completed_in_process else 2700.0
         stop_evt = threading.Event()
         t0 = time.perf_counter()
 
@@ -424,6 +444,8 @@ class PolicyOptimizer:
             finally:
                 if stop_beat is not None:
                     stop_beat()
+            if chunk_index == 0:
+                PolicyOptimizer._chunk0_completed_in_process = True
             if done:
                 break
             new_step = int(jnp.min(carry.step))

@@ -26,6 +26,12 @@ def ur5_reference_trajectory(num_steps: int = 200, dt: float = 0.02) -> np.ndarr
     ``dt`` is accepted for signature parity with the generator — the
     recording is sampled at the scenario's 50 Hz control rate.
     """
+    if abs(dt - 0.02) > 1e-9:
+        # the recording is a fixed 50 Hz time series; accepting another dt
+        # would silently time-rescale it instead of resampling
+        raise ValueError(
+            f"the reference trajectory is recorded at dt=0.02s (50 Hz); got dt={dt}"
+        )
     root = os.environ.get("MCPILCO_REFERENCE", "/root/reference")
     path = os.path.join(root, "envs", "target_q_trajectory.csv")
     traj = np.genfromtxt(path, delimiter=",").astype(np.float32)

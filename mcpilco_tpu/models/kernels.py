@@ -181,17 +181,25 @@ class Linear(Kernel):
     (Sparse_GP.py:295-453, Utils/Parameters_covariance_functions.py:18-32).
     A full-covariance Sigma (Cholesky-parameterized, reference
     Parameters_covariance_functions.py:46-65) is available via ``full_sigma``.
+    A semi-definite diagonal Sigma (reference ``diagonal_covariance_semi_def``,
+    Parameters_covariance_functions.py:35-43: the first ``semi_def_dims``
+    diagonal entries are squares of UNCONSTRAINED parameters, so training can
+    drive them exactly to zero and switch features off; the rest stay
+    positivity-constrained via the log transform) via ``semi_def_dims``.
     """
 
     active_dims: Optional[Tuple[int, ...]] = None
     num_features: Optional[int] = None
     offset: bool = False
     full_sigma: bool = False
+    semi_def_dims: int = 0
     train_sigma: bool = True
     train_mean: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "active_dims", _as_tuple(self.active_dims))
+        if self.full_sigma and self.semi_def_dims:
+            raise ValueError("full_sigma and semi_def_dims are mutually exclusive")
 
     def _nfeat(self) -> int:
         base = len(self.active_dims) if self.active_dims is not None else self.num_features
@@ -209,6 +217,15 @@ class Linear(Kernel):
     def init_params(self, sigma_diag=None, mean_w=None, free_chol=None, dtype=jnp.float32) -> dict:
         nf = self._nfeat()
         sd = jnp.ones(nf, dtype) if sigma_diag is None else jnp.asarray(sigma_diag, dtype) * jnp.ones(nf, dtype)
+        if self.semi_def_dims:
+            # first semi_def_dims entries free (stored raw), rest log-positive
+            p = {
+                "sigma_free_diag": sd[: self.semi_def_dims],
+                "log_sigma_diag": jnp.log(sd[self.semi_def_dims :]),
+            }
+            if mean_w is not None:
+                p["mean_w"] = jnp.asarray(mean_w, dtype)
+            return p
         p = {"log_sigma_diag": jnp.log(sd)}
         if self.full_sigma:
             n_off = nf * (nf - 1) // 2
@@ -223,12 +240,16 @@ class Linear(Kernel):
         m = {"log_sigma_diag": self.train_sigma}
         if self.full_sigma:
             m["sigma_offdiag"] = self.train_sigma
+        if self.semi_def_dims:
+            m["sigma_free_diag"] = self.train_sigma
         if "mean_w" in params:
             m["mean_w"] = self.train_mean
         return m
 
     def _sigma(self, params):
         d = jnp.exp(params["log_sigma_diag"])
+        if self.semi_def_dims:
+            d = jnp.concatenate([params["sigma_free_diag"], d])
         if not self.full_sigma:
             return None, d * d  # diagonal fast path
         nf = d.shape[-1]

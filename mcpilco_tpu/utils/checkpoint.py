@@ -51,6 +51,14 @@ def load(path: str, templates: Dict[str, Any]) -> tuple[Dict[str, Any], Dict[str
     return out, manifest["meta"]
 
 
+def peek_meta(path: str) -> Dict[str, Any]:
+    """Read only a checkpoint's scalar metadata (cheap — no npz loads).
+    Used by auto-resume to validate the stored scenario config against the
+    current one before restoring any arrays."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)["meta"]
+
+
 def save_meta(path: str, meta: Dict[str, Any]) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "meta.json"), "w") as f:

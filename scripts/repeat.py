@@ -374,10 +374,14 @@ def main():
                          "script flags via --extra-flag")
 
     extra = ["--smoke"] if args.smoke else []
-    if not args.farm:
-        # a watchdog-killed seed re-runs from its newest complete_trial*
-        # checkpoint instead of from scratch (no-op on fresh dirs; seed dirs
-        # are tag-scoped so A/B arms never cross-resume)
+    if not args.farm and args.resume:
+        # ONLY on --resume (the watchdog/supervisor recovery path) does the
+        # in-flight seed restart from its newest complete_trial* checkpoint.
+        # A fresh sweep must never auto-resume: seed log dirs persist across
+        # invocations, so a stale checkpoint from an earlier sweep of the
+        # same scenario/tag would be silently replayed as a new sample
+        # (auto_resume additionally validates the stored config, mc_pilco.
+        # _check_resume_config, so a config change fails loudly either way).
         extra += ["--auto-resume"]
     if args.trials is not None:
         extra += ["--trials", str(args.trials)]
@@ -460,7 +464,9 @@ def _supervise(args):
         argv = child_argv + (["--resume"] if attempt and "--resume" not in child_argv else [])
         print(f"[repeat-supervisor] launch {attempt + 1}/{args.supervise + 1}: "
               f"{' '.join(argv)}", flush=True)
+        t0 = time.time()
         rc = subprocess.call([sys.executable, os.path.abspath(__file__)] + argv, env=env)
+        child_secs = time.time() - t0
         if rc == 0:
             print("[repeat-supervisor] sweep complete", flush=True)
             return 0
@@ -468,7 +474,16 @@ def _supervise(args):
             print("[repeat-supervisor] sweep stopped via STOP file — "
                   "not relaunching", flush=True)
             return 0
-        print(f"[repeat-supervisor] child exited rc={rc}", flush=True)
+        print(f"[repeat-supervisor] child exited rc={rc} after {child_secs:.0f}s", flush=True)
+        # Relaunching only makes sense for stalls (rc 87) and infra deaths
+        # that happened after real work started.  A child dying within a
+        # minute of launch is a deterministic failure (bad flag, argparse
+        # rc=2, broken config, refused auto-resume) — relaunching would just
+        # burn N wait_for_chip windows reproducing it.
+        if rc != WATCHDOG_EXIT_CODE and child_secs < 60:
+            print("[repeat-supervisor] child died immediately with a non-stall "
+                  "rc — deterministic failure, not relaunching", flush=True)
+            return rc
         if attempt == args.supervise:
             break
         if not wait_for_chip(probe_env_window(), log=lambda *a: print(*a, flush=True)):

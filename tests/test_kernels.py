@@ -79,6 +79,35 @@ class TestLinearPoly:
             np.asarray(kp.gram(p, X, X)), np.asarray(base.gram(p, X, X)) ** 3, rtol=1e-5
         )
 
+    def test_semi_def_sigma_golden(self):
+        """semi_def_dims matches the reference's diagonal_covariance_semi_def
+        (Parameters_covariance_functions.py:35-43): Sigma =
+        diag(cat([free_par, pos_par])**2) with the FREE block first, so the
+        corresponding diagonal entries are unconstrained and can reach 0."""
+        k = K.Linear(active_dims=(0, 1, 2), offset=False, semi_def_dims=2)
+        sd = np.array([0.7, -0.0, 1.5])  # free block stored raw, incl. 0
+        p = k.init_params(sigma_diag=np.array([0.7, 1.0, 1.5]))
+        p = {**p, "sigma_free_diag": jnp.asarray(sd[:2], jnp.float32)}
+        X1, X2 = _rand(7, 4, 3), _rand(8, 5, 3)
+        # reference formula: phi Sigma phi^T with Sigma = diag(cat(free,pos)^2)
+        sigma = np.diag(np.concatenate([sd[:2], [1.5]]) ** 2)
+        want = np.asarray(X1) @ sigma @ np.asarray(X2).T
+        np.testing.assert_allclose(np.asarray(k.gram(p, X1, X2)), want, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(k.diag(p, X1)), np.diag(np.asarray(X1) @ sigma @ np.asarray(X1).T),
+            rtol=1e-5,
+        )
+        # a zeroed free entry switches its feature off exactly
+        assert np.allclose(
+            np.asarray(k.gram(p, X1, X2)),
+            np.asarray(X1)[:, [0, 2]] @ np.diag([0.7**2, 1.5**2]) @ np.asarray(X2)[:, [0, 2]].T,
+            rtol=1e-5,
+        )
+        # trainable mask covers the free block; full_sigma combination refused
+        assert k.param_mask(p)["sigma_free_diag"] is True
+        with pytest.raises(ValueError):
+            K.Linear(active_dims=(0,), full_sigma=True, semi_def_dims=1)
+
     def test_weight_posterior_recovers_linear_fn(self):
         # y = 2*x0 - 3*x1, no noise -> posterior weights converge to truth
         k = K.Linear(active_dims=(0, 1), offset=False)

@@ -114,6 +114,24 @@ class TestCartpoleIntegration:
         agent3, _ = _smoke_agent()
         assert agent3.auto_resume() == 0
 
+    @pytest.mark.slow
+    def test_auto_resume_refuses_config_mismatch(self, tmp_path):
+        """Seed log dirs persist across sweep invocations; auto_resume must
+        fail loudly (not silently replay stale state or crash on shapes)
+        when the checkpoint was written under a different scenario config
+        (ADVICE r4 medium)."""
+        agent, kwargs = _smoke_agent(tmp_path)
+        agent.reinforce(**{**kwargs, "num_trials": 1}, verbose=False)
+
+        # same log dir, changed config field -> refused, field named
+        agent2, _ = _smoke_agent(tmp_path, num_particles=17)
+        with pytest.raises(RuntimeError, match="num_particles"):
+            agent2.auto_resume()
+
+        # unchanged config still resumes (log_dir differences are ignored)
+        agent3, _ = _smoke_agent(tmp_path)
+        assert agent3.auto_resume() == 1
+
     def test_multi_init_variant_builds(self):
         cfg = dataclasses.replace(cp.CartpoleConfig(seed=1).smoke(), multi_init=True)
         agent, _ = cp.build(cfg)
