@@ -67,6 +67,31 @@ def _preflight_tpu():
         sys.exit(4)
 
 
+def analytic_step_flops(P, horizon, M, D, num_heads, num_basis, feat_dim, du):
+    """Analytic FLOPs of ONE policy-optimization step (fwd rollout + BPTT).
+
+    Counts the compute the production program actually executes (padded SOD
+    bucket M included), per scan step of the rollout:
+      - SE gram against the training set, direct-difference form (numerics
+        finding 2, RESULTS.md): ~3 flops per (particle, point, dim) + exp;
+      - posterior mean contraction K* @ alpha: 2 P M per head;
+      - posterior variance in factored form ||K* F||_row^2 with F = L^-T
+        [M, M]: 2 P M^2 per head — the dominant term;
+      - policy RBF features + linear read-out + squash.
+    BPTT through the scan re-runs the data path twice (cotangent chain +
+    residual recompute under remat), so one opt step ~= 3x the forward; the
+    Adam update itself is O(n_params) and negligible.  This is the same
+    model the round-2 profile validated against the trace (~44 GFLOP/step
+    at the flagship shapes, scripts/profile_opt.py).
+    """
+    gram = num_heads * P * M * (3 * D + 10)
+    mean = num_heads * 2 * P * M
+    var = num_heads * (2 * P * M * M + 2 * P * M)
+    policy = P * num_basis * (3 * feat_dim + 8) + 2 * P * num_basis * du
+    per_scan_step = gram + mean + var + policy + 60 * P
+    return 3 * horizon * per_scan_step
+
+
 def main():
     _preflight_tpu()
     cancel_watchdog = _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "900")))
@@ -152,6 +177,33 @@ def main():
         except Exception as e:  # pragma: no cover - defensive
             log(f"[bench] hardware-RNG variant skipped: {e}")
 
+    # ---- MFU: analytic FLOPs / measured step time / chip peak ----
+    # Peak = bf16 MXU peak of one TPU v5e chip (197 TFLOP/s).  The dominant
+    # contractions here run at precision=HIGHEST (~6 bf16 MXU passes per f32
+    # product — load-bearing for the posterior numerics, RESULTS.md), so the
+    # attainable ceiling for THIS program is ~peak/6; both figures are
+    # reported.  Override the peak via MCPILCO_TPU_PEAK_TFLOPS for other
+    # chip generations.
+    M = int(agent.posterior.alpha.shape[-1])  # padded SOD bucket actually computed
+    flops = analytic_step_flops(
+        P=cfg.num_particles,
+        horizon=int(cfg.T_control / cfg.dt),
+        M=M,
+        D=agent.model.gp_input_dim,
+        num_heads=agent.gp.num_heads,
+        num_basis=cfg.num_basis,
+        feat_dim=agent.policy.feature_dim,
+        du=1,
+    )
+    peak_tflops = float(os.environ.get("MCPILCO_TPU_PEAK_TFLOPS", "197"))
+    achieved_tflops = flops / (ms_per_step * 1e-3) / 1e12
+    mfu = achieved_tflops / peak_tflops
+    log(
+        f"[bench] analytic {flops / 1e9:.1f} GFLOP/step (M={M}) -> "
+        f"{achieved_tflops:.2f} TFLOP/s achieved = {100 * mfu:.2f}% of bf16 peak "
+        f"({100 * mfu * 6:.1f}% of the ~peak/6 f32-HIGHEST ceiling)"
+    )
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     baseline_ms = None
     if os.path.exists(baseline_path):
@@ -164,6 +216,10 @@ def main():
         "unit": "ms/step",
         "vs_baseline": round(baseline_ms / ms_per_step, 2) if baseline_ms else None,
         "fast_prng_ms_per_step": round(fast_ms, 3) if fast_ms else None,
+        "mfu": round(mfu, 5),
+        "analytic_gflops_per_step": round(flops / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 3),
+        "peak_tflops_assumed": peak_tflops,
     }
     cancel_watchdog()
     print(json.dumps(out))

@@ -52,7 +52,17 @@ class InitialStateDistribution:
     def __post_init__(self):
         for f in ("mean", "var", "low", "high"):
             v = np.asarray(getattr(self, f), float)
-            object.__setattr__(self, f, tuple(map(tuple, v)) if v.ndim == 2 else tuple(v.reshape(-1)))
+            # native floats, not np scalars: frozen-dataclass equality must
+            # never hit np.float64.__eq__(tuple), which broadcasts to an
+            # array and breaks jit static-arg / pytree-metadata comparison
+            # when two differently-shaped configs meet in one process
+            object.__setattr__(
+                self,
+                f,
+                tuple(tuple(float(x) for x in row) for row in v)
+                if v.ndim == 2
+                else tuple(float(x) for x in v.reshape(-1)),
+            )
 
     def sample(self, key, num_particles: int, dtype=jnp.float32) -> jax.Array:
         if self.kind == "uniform":

@@ -61,8 +61,14 @@ class QuadraticDistance(CostBase):
     abs_dims: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
-        object.__setattr__(self, "target_state", tuple(np.asarray(self.target_state, float)))
-        object.__setattr__(self, "lengthscales", tuple(np.asarray(self.lengthscales, float).reshape(-1)))
+        object.__setattr__(
+            self, "target_state", tuple(float(v) for v in np.asarray(self.target_state, float))
+        )
+        object.__setattr__(
+            self,
+            "lengthscales",
+            tuple(float(v) for v in np.asarray(self.lengthscales, float).reshape(-1)),
+        )
         object.__setattr__(self, "active_dims", _as_tuple(self.active_dims))
         object.__setattr__(self, "abs_dims", _as_tuple(self.abs_dims))
 
@@ -104,8 +110,15 @@ class SaturatedTrajectoryTracking(CostBase):
         tt = tuple(tuple(float(v) for v in row) for row in np.asarray(self.target_traj))
         object.__setattr__(self, "target_traj", tt)
         ls = np.asarray(self.lengthscales, float)
+        # native floats (see rollout.InitialStateDistribution.__post_init__):
+        # np-scalar members make tuple equality raise when a flat (fixed)
+        # and a per-trial (curriculum) instance are compared by jit caching
         object.__setattr__(
-            self, "lengthscales", tuple(map(tuple, ls)) if ls.ndim == 2 else tuple(ls.reshape(-1))
+            self,
+            "lengthscales",
+            tuple(tuple(float(x) for x in row) for row in ls)
+            if ls.ndim == 2
+            else tuple(float(x) for x in ls.reshape(-1)),
         )
         object.__setattr__(self, "used_indices", _as_tuple(self.used_indices))
 
@@ -139,8 +152,12 @@ class CartPoleCost(CostBase):
     pos_index: int = 0
 
     def __post_init__(self):
-        object.__setattr__(self, "target_state", tuple(np.asarray(self.target_state, float)))
-        object.__setattr__(self, "lengthscales", tuple(np.asarray(self.lengthscales, float)))
+        object.__setattr__(
+            self, "target_state", tuple(float(v) for v in np.asarray(self.target_state, float))
+        )
+        object.__setattr__(
+            self, "lengthscales", tuple(float(v) for v in np.asarray(self.lengthscales, float))
+        )
 
     def stage_costs(self, states, inputs, trial_index=0):
         theta = states[..., self.angle_index]

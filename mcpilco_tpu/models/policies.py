@@ -49,7 +49,7 @@ def _umax_static(u_max):
     import numpy as _np
 
     a = _np.asarray(u_max, float)
-    return float(a) if a.ndim == 0 else tuple(a.reshape(-1))
+    return float(a) if a.ndim == 0 else tuple(float(x) for x in a.reshape(-1))
 
 
 class PolicyBase:

@@ -27,6 +27,10 @@ def main():
                    default="generated",
                    help="'reference' loads the reference task's recorded "
                         "200x12 CSV at runtime from $MCPILCO_REFERENCE")
+    p.add_argument("--plant", choices=["approx", "reference"], default="approx",
+                   help="'reference' runs the reference task's actual arm "
+                        "(envs/assets/UR5.xml + meshes, loaded at runtime "
+                        "from $MCPILCO_REFERENCE)")
     p.add_argument("--poly-degree", type=int, default=1,
                    help="Volterra/poly kernel degree (reference: 1)")
     p.add_argument("--cost-lengthscales", choices=["curriculum", "fixed"],
@@ -39,6 +43,15 @@ def main():
     p.add_argument("--delta-cap", type=float, default=3.0,
                    help="rollout delta clamp in units of the max-abs training "
                         "delta; <=0 disables (no reference equivalent)")
+    p.add_argument("--plateau-rescue", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="when trial 0 ends still saturated (init-geometry "
+                        "plateau: zero cost gradient), restart once with the "
+                        "per-trial cost-lengthscale curriculum — flips both "
+                        "round-4 plateau seeds (UR5Config.plateau_rescue)")
+    p.add_argument("--plateau-rescue-frac", type=float, default=0.9,
+                   help="plateau threshold as a fraction of the horizon "
+                        "(trial-0 final cost above frac*horizon = plateau)")
     args = p.parse_args()
 
     if args.platform:
@@ -58,10 +71,12 @@ def main():
 
     cfg = scen.UR5Config(
         seed=args.seed, log_dir=args.log_dir or f"results_tmp/ur5_{args.seed}",
-        trajectory=args.trajectory, poly_degree=args.poly_degree,
+        trajectory=args.trajectory, plant=args.plant, poly_degree=args.poly_degree,
         cost_lengthscales=args.cost_lengthscales,
         weight_init_scale=args.weight_init_scale,
         delta_cap=args.delta_cap if args.delta_cap > 0 else None,
+        plateau_rescue=args.plateau_rescue,
+        plateau_rescue_frac=args.plateau_rescue_frac,
     )
     if args.smoke:
         cfg = cfg.smoke()
@@ -71,15 +86,64 @@ def main():
     import jax
 
     print(f"devices: {jax.devices()}")
-    agent, kwargs = scen.build(cfg)
-    if args.auto_resume:
-        done = agent.auto_resume()
-        if done:
-            print(f"[train] auto-resumed {done} completed trials from {agent.log_dir}")
-            kwargs = {**kwargs, "num_trials": max(kwargs["num_trials"] - done, 0)}
+
+    class _Plateau(Exception):
+        pass
+
+    def _train(cfg, auto_resume):
+        agent, kwargs = scen.build(cfg)
+        resumed = 0
+        if auto_resume:
+            resumed = agent.auto_resume()
+            if resumed:
+                print(f"[train] auto-resumed {resumed} completed trials from {agent.log_dir}")
+                kwargs = {**kwargs, "num_trials": max(kwargs["num_trials"] - resumed, 0)}
+        horizon = int(cfg.T_control / cfg.dt)
+
+        def _is_plateau(cost_history):
+            return (
+                cfg.plateau_rescue
+                and cfg.cost_lengthscales == "fixed"
+                and len(cost_history)
+                and float(cost_history[-1]) > cfg.plateau_rescue_frac * horizon
+            )
+
+        if resumed >= 1 and _is_plateau(agent.trial_logs[0].cost_history):
+            # a watchdog stall between plateau detection and the rescue run
+            # must not demote the seed to a silent fixed-config failure
+            raise _Plateau(float(agent.trial_logs[0].cost_history[-1]))
+
+        def guard(a, trial):
+            # Init-geometry plateau: trial 0's policy opt ended still on the
+            # saturated cost's flat region (successes end trial 0 at <= ~20;
+            # plateau seeds ES-stop at ~= horizon).  Detected right after the
+            # trial so the rescue costs one trial-0, not a full failed run.
+            if trial == 0 and a.trial_logs and _is_plateau(a.trial_logs[0].cost_history):
+                raise _Plateau(float(a.trial_logs[0].cost_history[-1]))
+
+        agent.reinforce(**kwargs, on_trial_end=guard)
+        return agent
+
     t0 = time.time()
-    agent.reinforce(**kwargs)
+    try:
+        agent = _train(cfg, args.auto_resume)
+        rescue_fired = False
+    except _Plateau as e:
+        print(
+            f"\n[train_ur5] PLATEAU: trial-0 policy opt ended saturated "
+            f"(cost {e.args[0]:.1f}) — restarting with the cost-lengthscale "
+            "curriculum (the reference's per-trial lengthscales feature, "
+            "Cost_function.py:104-147; flips both round-4 plateau seeds)"
+        )
+        rescue_cfg = dataclasses.replace(
+            cfg,
+            cost_lengthscales="curriculum",
+            log_dir=(cfg.log_dir + "_rescue") if cfg.log_dir else None,
+        )
+        agent = _train(rescue_cfg, auto_resume=False)
+        rescue_fired = True
     print(f"\n[train_ur5] total wall-clock {time.time() - t0:.1f}s")
+    print(f"[train_ur5] rescue_fired: {rescue_fired}")
     err = scen.tracking_error_deg(agent)
     print(f"[train_ur5] final-trial per-joint RMS tracking error (deg): {np.round(err, 2)}")
     print(f"[train_ur5] final-trial cumulative cost: {agent.trial_cumulative_cost():.4f}")

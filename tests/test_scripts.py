@@ -91,6 +91,23 @@ class TestEndToEndArtifacts:
         pngs = [f for f in os.listdir(smoke_log_dir) if f.endswith(".png")]
         assert pngs, "plot_logs wrote no figures"
 
+    def test_ur5_plateau_rescue_fires_and_recovers(self, tmp_path):
+        """Forced plateau (frac=0 makes any positive trial-0 cost 'saturated'):
+        the training restarts once with the lengthscale curriculum, reports
+        rescue_fired, and completes (scripts/train_ur5.py rescue protocol)."""
+        log_dir = str(tmp_path / "ur5")
+        r = _run(
+            [os.path.join(SCRIPTS, "train_ur5.py"), "--seed", "1", "--smoke",
+             "--platform", "cpu", "--log-dir", log_dir,
+             "--plateau-rescue-frac", "0.0"],
+            timeout=1500,
+        )
+        assert r.returncode == 0, (r.stdout[-600:], r.stderr[-800:])
+        assert "PLATEAU" in r.stdout
+        assert "rescue_fired: True" in r.stdout
+        # the rescue run trained in its own log dir with the curriculum
+        assert os.path.isdir(log_dir + "_rescue")
+
     def test_repeat_smoke_inprocess(self, tmp_path):
         r = _run(
             [os.path.join(SCRIPTS, "repeat.py"), "--scenario", "cartpole",
