@@ -144,26 +144,44 @@ class SaturatedTrajectoryTracking(CostBase):
 @dataclasses.dataclass(frozen=True)
 class CartPoleCost(CostBase):
     """1 - exp(-((|theta|-theta*)/l_th)^2 - ((x-x*)/l_x)^2)
-    (Cost_function.py:170-182); target_state = (theta*, x*)."""
+    (Cost_function.py:170-182); target_state = (theta*, x*).
+
+    ``lengthscales`` may be per-trial ([n_trials, 2] with ``per_trial=True``),
+    the cartpole analog of the reference's per-trial trajectory-cost
+    lengthscales (Cost_function.py:104-147) — a wide-early curriculum
+    un-flattens the saturated cost for plateau seeds exactly as it does
+    for the UR5 tracking cost (RESULTS.md "Targeted curriculum rescue")."""
 
     target_state: Tuple[float, float]
-    lengthscales: Tuple[float, float]
+    lengthscales: Tuple
     angle_index: int = 2
     pos_index: int = 0
+    per_trial: bool = False
 
     def __post_init__(self):
         object.__setattr__(
             self, "target_state", tuple(float(v) for v in np.asarray(self.target_state, float))
         )
+        ls = np.asarray(self.lengthscales, float)
+        # native floats: np-scalar members break tuple equality between a
+        # flat (fixed) and a nested (per-trial) instance under jit caching
+        # (see SaturatedTrajectoryTracking.__post_init__)
         object.__setattr__(
-            self, "lengthscales", tuple(float(v) for v in np.asarray(self.lengthscales, float))
+            self,
+            "lengthscales",
+            tuple(tuple(float(x) for x in row) for row in ls)
+            if ls.ndim == 2
+            else tuple(float(x) for x in ls.reshape(-1)),
         )
 
     def stage_costs(self, states, inputs, trial_index=0):
         theta = states[..., self.angle_index]
         x = states[..., self.pos_index]
         t_th, t_x = self.target_state
-        l_th, l_x = self.lengthscales
+        ls = jnp.asarray(self.lengthscales, states.dtype)
+        if self.per_trial:
+            ls = ls[trial_index]
+        l_th, l_x = ls[0], ls[1]
         return 1.0 - jnp.exp(
             -(((jnp.abs(theta) - t_th) / l_th) ** 2) - ((x - t_x) / l_x) ** 2
         )

@@ -58,6 +58,13 @@ class CartpoleMujocoConfig:
     # False = sequential restart lanes reusing the compiled R=1 program
     # (the tunneled-TPU fallback for the vmapped-R stall; trainer.py)
     restart_vmap: bool = True
+    # "fixed" = the reference's (3.0, 1.0) (test_mcpilco_cartpole_mujoco.py
+    # cost config); "curriculum" = per-trial lengthscales, wide trial 0
+    # (6.0, 2.0) then the reference values — the UR5 plateau-rescue lever
+    # (Cost_function.py:104-147 per-trial feature) applied to the cartpole
+    # cost, for the optimization-mode failure seeds (RESULTS.md round-4
+    # failure analysis: model fine, in-model cost saturated at hanging)
+    cost_lengthscales: str = "fixed"
     log_dir: Optional[str] = None
 
     def smoke(self) -> "CartpoleMujocoConfig":
@@ -89,8 +96,19 @@ def build(cfg: CartpoleMujocoConfig):
     )
     exploration = RandomExploration(state_dim=4, input_dim=1, u_max=cfg.u_max)
     # upright target theta = 0 (test_mcpilco_cartpole_mujoco.py:147-148)
+    if cfg.cost_lengthscales == "curriculum":
+        # wide trial 0 un-flattens the saturated cost far from upright and
+        # halves the x-motion penalty that blocks aggressive pump swings;
+        # trial >= 1 index clamps to the reference row (jnp gather clamp,
+        # same idiom as the UR5 curriculum)
+        cost_ls, per_trial = np.array([[6.0, 2.0], [3.0, 1.0]]), True
+    elif cfg.cost_lengthscales == "fixed":
+        cost_ls, per_trial = np.array([3.0, 1.0]), False
+    else:
+        raise ValueError(f"unknown cost_lengthscales {cfg.cost_lengthscales!r}")
     cost = CartPoleCost(
-        target_state=(0.0, 0.0), lengthscales=(3.0, 1.0), angle_index=1, pos_index=0
+        target_state=(0.0, 0.0), lengthscales=cost_ls, per_trial=per_trial,
+        angle_index=1, pos_index=0,
     )
     plant = MujocoPlant(
         xml="cartpole_swingup.xml", noise_std=(cfg.std_noise,) * 4, sim_timestep=cfg.sim_timestep

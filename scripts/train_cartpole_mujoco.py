@@ -33,6 +33,11 @@ def main():
                    help="resume from the newest complete_trial* checkpoint "
                         "in the log dir (watchdog/crash recovery; no-op on "
                         "a fresh dir)")
+    p.add_argument("--cost-lengthscales", choices=["fixed", "curriculum"],
+                   default="fixed",
+                   help="'curriculum' = wide trial-0 cost lengthscales "
+                        "(6.0, 2.0) then the reference (3.0, 1.0) — the UR5 "
+                        "plateau-rescue lever for optimization-mode seeds")
     args = p.parse_args()
 
     if args.platform:
@@ -54,6 +59,7 @@ def main():
         seed=args.seed, log_dir=args.log_dir or f"results_tmp/mj_{args.seed}",
         delta_cap=args.delta_cap, num_restarts=args.num_restarts,
         restart_vmap=not args.sequential_restarts,
+        cost_lengthscales=args.cost_lengthscales,
     )
     if args.smoke:
         cfg = cfg.smoke()

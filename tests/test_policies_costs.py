@@ -153,6 +153,25 @@ class TestCosts:
         expected_down = 1 - np.exp(-((np.pi / 3.0) ** 2))
         np.testing.assert_allclose(float(cost.stage_costs(down, u)[0, 0]), expected_down, rtol=1e-4)
 
+    def test_cartpole_cost_per_trial_curriculum(self):
+        # per-trial rows: wide trial 0, reference trial 1+; out-of-range
+        # trial_index clamps to the last row (jnp gather clamp — the
+        # 2-row-curriculum idiom shared with the UR5 scenario)
+        ls = np.array([[6.0, 2.0], [3.0, 1.0]])
+        cost = C.CartPoleCost(
+            target_state=(np.pi, 0.0), lengthscales=ls, angle_index=2, per_trial=True
+        )
+        fixed = C.CartPoleCost(target_state=(np.pi, 0.0), lengthscales=(3.0, 1.0), angle_index=2)
+        down, u = jnp.zeros((1, 1, 4)), jnp.zeros((1, 1, 1))
+        c0 = float(cost.stage_costs(down, u, 0)[0, 0])
+        c1 = float(cost.stage_costs(down, u, 1)[0, 0])
+        c4 = float(cost.stage_costs(down, u, 4)[0, 0])  # clamps to row 1
+        cf = float(fixed.stage_costs(down, u)[0, 0])
+        assert c0 < c1  # wider lengthscales -> smaller saturated cost
+        np.testing.assert_allclose(c1, cf, rtol=1e-6)
+        np.testing.assert_allclose(c4, cf, rtol=1e-6)
+        np.testing.assert_allclose(c0, 1 - np.exp(-((np.pi / 6.0) ** 2)), rtol=1e-4)
+
     def test_expected_cost_reduction(self):
         stage = jnp.array([[1.0, 3.0], [2.0, 2.0]])  # [T=2, P=2]
         total, spread = C.expected_cost(stage)
