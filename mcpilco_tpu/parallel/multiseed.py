@@ -23,11 +23,17 @@ noise, SOD permutation and rollout noise, so a farmed seed sees the same
 randomness as `scripts/repeat.py` gives it, modulo batched-kernel float
 reassociation.
 
-Scope: plants must be on-device (ODEPlant / PMSODEPlant).  4PMS offline
+Scope: on-device plants (ODEPlant / PMSODEPlant) batch the plant trial into
+the same device call; MuJoCo plants run their (host-side) simulator loop
+seed-by-seed between the batched device phases — collection is a tiny
+fraction of a trial's wall-clock (60 control steps vs thousands of policy-opt
+steps), so the farm's speedup carries over nearly intact.  4PMS offline
 filtering runs batched on-device via the pure-JAX filtfilt
-(envs.plants.offline_velocity_estimation_jax); use the sequential driver
-for MuJoCo / hardware scenarios.
-"""
+(envs.plants.offline_velocity_estimation_jax).  ``num_restarts > 1`` runs as
+sequential restart lanes through the one compiled R=1 vmapped program (the
+seeds x restarts product would blow the VMEM cliff if vmapped jointly;
+RESULTS.md farm profile), keeping the per-seed winner by in-model cost —
+the farm analog of PolicyOptimizer's restart_vmap=False path."""
 
 from __future__ import annotations
 
@@ -92,15 +98,19 @@ class SeedFarm:
 
     def __post_init__(self):
         a = self.agent
-        if not isinstance(a.plant, ODEPlant):
-            raise ValueError("SeedFarm needs an on-device (ODE) plant")
+        # on-device plants batch the trial into one device call; anything
+        # else (MuJoCo, future hardware adapters) runs host-side per seed
+        # in _collect_host via the plant's TrialData rollout protocol
+        self._device_plant = isinstance(a.plant, ODEPlant)
+        if not self._device_plant and not hasattr(a.plant, "rollout"):
+            raise ValueError("SeedFarm needs a plant with a rollout() protocol")
+        if not self._device_plant and a.offline_filtering:
+            raise ValueError(
+                "host-plant farm + offline filtering not implemented; "
+                "use scripts/repeat.py"
+            )
         if a.sor is not None:
             raise ValueError("SOR farm path not implemented; use scripts/repeat.py")
-        if a.optimizer.num_restarts > 1:
-            # seeds x restarts would multiply the rollout working set past
-            # the S=4 VMEM cliff (RESULTS.md farm profile); restarts are a
-            # sequential-path feature
-            raise ValueError("SeedFarm requires optimizer.num_restarts == 1")
         if a.optimizer.mesh is not None:
             # Composition is allowed on a shared 2D seed x particle mesh:
             # the farm shards seeds on axis "s" while the optimizer's
@@ -184,10 +194,51 @@ class SeedFarm:
                 by = by.at[:, :, : self.buf_y.shape[2]].set(self.buf_y)
             self.buf_x, self.buf_y = bx, by
 
+    def _collect_host(self, T: float, trial_index: int, exploration: bool) -> tuple:
+        """Host-plant (MuJoCo) collection: the simulator loop runs seed-by-
+        seed on the host with EXACTLY the sequential path's key derivations
+        (MCPilco.collect / _sample_x0), then the training pairs are built
+        and buffered batched.  The per-seed loop costs one short plant trial
+        each — negligible next to the batched fit/optimize phases."""
+        a = self.agent
+        pol = a.exploration_policy if exploration else a.policy
+        params_b = self.expl_params if exploration else self.policy_params
+        mean = np.asarray(a.init_dist.mean, np.float32)
+        xs, ys, trues, ins = [], [], [], []
+        for i in range(len(self.seeds)):
+            key = jax.tree_util.tree_map(lambda x: x[i], self.keys)
+            params = jax.tree_util.tree_map(lambda x: x[i], params_b)
+            if a.fixed_initial_state:
+                x0 = np.asarray(mean[0] if mean.ndim == 2 else mean)
+            else:
+                x0 = np.asarray(a.init_dist.sample_single(
+                    prng.fold(prng.stream(key, prng.STREAM_SYSTEM), trial_index, 0xA)
+                ))
+            k = prng.fold(prng.stream(key, prng.STREAM_SYSTEM), trial_index)
+            trial = a.plant.rollout(k, x0, pol, params, T, a.dt)
+            x, y = a.model.training_pairs(
+                jnp.asarray(trial.measured), jnp.asarray(trial.inputs)
+            )
+            xs.append(x)
+            ys.append(y)
+            trues.append(trial.true)
+            ins.append(trial.inputs)
+        x = jnp.stack(xs)
+        y = jnp.stack(ys)
+        n = x.shape[1]
+        self._grow(n)
+        self.buf_x = self.buf_x.at[:, self._filled : self._filled + n].set(x)
+        self.buf_y = self.buf_y.at[:, :, self._filled : self._filled + n].set(y)
+        self._filled += n
+        self.num_collections += 1
+        return np.stack(trues), np.stack(ins)
+
     def collect(self, T: float, trial_index: int, exploration: bool) -> tuple:
         """One plant trial per seed, in one device call
         (MCPilco.collect semantics, batched)."""
         a = self.agent
+        if not self._device_plant:
+            return self._collect_host(T, trial_index, exploration)
         num_steps = int(round(T / a.dt))
         pol = a.exploration_policy if exploration else a.policy
         params_b = self.expl_params if exploration else self.policy_params
@@ -302,7 +353,17 @@ class SeedFarm:
     def improve_policy(self, opts: PolicyOptOptions, trial_index: int) -> tuple:
         """The production compiled policy-opt loop, vmapped over seeds.
         Host chunking is preserved; a chunk ends early only when EVERY
-        seed's convergence monitor has fired."""
+        seed's convergence monitor has fired.
+
+        ``optimizer.num_restarts > 1`` runs as SEQUENTIAL lanes through the
+        same compiled R=1 vmapped program (seeds x restarts vmapped jointly
+        would cross the VMEM cliff): lane 0 = the incoming per-seed params
+        (exact single-restart schedule), lanes 1..R-1 = fresh per-seed reinit
+        draws with the sequential path's key derivation
+        (trainer.optimize: split(fold(key, STREAM_RESTARTS), R-1)); the
+        per-seed winner by in-model cost is kept, per-seed — unlike the
+        sequential driver, seed A's lane-2 win never costs seed B its
+        lane-0 win."""
         a = self.agent
         opt = a.optimizer
         num_steps = int(min(int(opts.opt_steps), opt.max_opt_steps))
@@ -314,20 +375,72 @@ class SeedFarm:
             )),
         )
         keys = self._shard(key_fn(self.keys, jnp.int32(trial_index)))
+        R = max(int(opt.num_restarts), 1)
+
+        best = None  # (metric [S], params, hist, steps, reinits)
+        for r in range(R):
+            if r == 0:
+                lane_params = self._shard(self.policy_params)
+            else:
+                reinit_fn = self._cached(
+                    ("lane_reinit", R),
+                    lambda: jax.jit(jax.vmap(
+                        lambda p, k, ri: a.policy.reinit(
+                            p,
+                            jax.random.split(
+                                prng.fold(k, prng.STREAM_RESTARTS), R - 1
+                            )[ri],
+                        ),
+                        in_axes=(0, 0, None),
+                    )),
+                )
+                lane_params = self._shard(
+                    reinit_fn(self.policy_params, keys, jnp.int32(r - 1))
+                )
+            lane = self._optimize_lane(
+                opts, trial_index, keys, lane_params, num_steps, lane_id=r
+            )
+            if best is None:
+                best = lane
+            else:
+                m_best, m_lane = best[0], lane[0]
+                better = jnp.isfinite(m_lane) & (
+                    ~jnp.isfinite(m_best) | (m_lane < m_best)
+                )
+                sel = lambda new, old: jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        better.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                    ),
+                    new, old,
+                )
+                best = tuple(sel(n, o) for n, o in zip(lane, best))
+        _, self.policy_params, hist, steps, reinits = best
+        return np.asarray(hist), np.asarray(steps), np.asarray(reinits)
+
+    def _optimize_lane(
+        self, opts: PolicyOptOptions, trial_index: int, keys, lane_params,
+        num_steps: int, lane_id: int,
+    ) -> tuple:
+        """One restart lane: init + chunk-drive the vmapped compiled loop.
+        Returns per-seed (metric, selected params, cost_hist, steps,
+        reinits); metric follows trainer.optimize's winner rule
+        (best_cost under keep_best, else last cost)."""
+        a = self.agent
+        opt = a.optimizer
 
         init = self._cached(
             "opt_init",
             lambda: jax.jit(jax.vmap(
-                lambda k, pp, gpp, post, lr, pd, ti: opt._optimize_init(
-                    k, pp, gpp, post, lr, pd, ti, jnp.int32(0)
+                lambda k, pp, gpp, post, lr, pd, ti, rid: opt._optimize_init(
+                    k, pp, gpp, post, lr, pd, ti, rid
                 ),
-                in_axes=(0, 0, 0, 0, None, None, None),
+                in_axes=(0, 0, 0, 0, None, None, None, None),
             )),
         )
         carry = init(
-            keys, self._shard(self.policy_params), self.gp_params, self.posterior,
+            keys, lane_params, self.gp_params, self.posterior,
             jnp.float32(opts.learning_rate), jnp.float32(opts.p_dropout),
-            jnp.int32(trial_index),
+            jnp.int32(trial_index), jnp.int32(lane_id),
         )
 
         chunk = self._cached(
@@ -375,20 +488,18 @@ class SeedFarm:
             step_now = new_step
 
         if opt.keep_best:
-            self.policy_params = jax.vmap(
+            params_sel = jax.vmap(
                 lambda c: jax.tree_util.tree_map(
                     lambda b, l: jnp.where(jnp.isfinite(c.best_cost), b, l),
                     c.best_params,
                     c.params,
                 )
             )(carry)
+            metric = carry.best_cost
         else:
-            self.policy_params = carry.params
-        return (
-            np.asarray(carry.cost_hist),
-            np.asarray(carry.step),
-            np.asarray(carry.reinit_count),
-        )
+            params_sel = carry.params
+            metric = carry.cost_prev
+        return (metric, params_sel, carry.cost_hist, carry.step, carry.reinit_count)
 
     # ---------------------------------------------------------- main loop
 

@@ -11,6 +11,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..control.mc_pilco import MCPilco, ModelFitOptions, PolicyOptOptions
@@ -73,6 +74,27 @@ class CartpoleMujocoConfig:
         )
 
 
+def policy_init(cfg: CartpoleMujocoConfig, policy, key):
+    """Pure per-seed policy initializer — MuJoCo-specific center ranges
+    (test_mcpilco_cartpole_mujoco.py:130-134): angles span +-1.5pi and the
+    [x, xd, thd] centers span [+-2, +-2, +-2pi] — wider than the ODE
+    scenario's uniform +-pi, critically so on thd (the pole passes
+    |thd| > pi during the catch; centers must cover it).  Pure JAX so the
+    multi-seed farm can vmap it; ``key`` is the scenario root key."""
+    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
+    k1, k2, k3 = jax.random.split(kc, 3)
+    angle_centers = 1.5 * jnp.pi * 2 * (jax.random.uniform(k1, (cfg.num_basis, 1)) - 0.5)
+    not_angle_scale = jnp.array([2.0, 2.0, 2.0 * jnp.pi])
+    centers_init = jnp.concatenate(
+        [not_angle_scale * 2 * (jax.random.uniform(k2, (cfg.num_basis, 3)) - 0.5),
+         jnp.cos(angle_centers), jnp.sin(angle_centers)], axis=1,
+    )
+    weight_init = cfg.u_max * (jax.random.uniform(k3, (1, cfg.num_basis)) - 0.5)
+    return policy.init_params(
+        kc, lengthscales=jnp.ones(5), centers=centers_init, weight=weight_init
+    )
+
+
 def build(cfg: CartpoleMujocoConfig):
     key = prng.root_key(cfg.seed)
     # mujoco layout: [x, theta, xd, thd] — vel indices (2, 3), angle index 1
@@ -133,24 +155,10 @@ def build(cfg: CartpoleMujocoConfig):
         sod=sod_mod.SODConfig(threshold_mode="relative", threshold=(0.5,)) if cfg.use_sod else None,
         seed=cfg.seed, log_dir=cfg.log_dir,
     )
-    kc = prng.fold(prng.stream(key, prng.STREAM_POLICY_INIT), 0xC0)
-    k1, k2, k3 = jax.random.split(kc, 3)
-    # MuJoCo-specific center ranges (test_mcpilco_cartpole_mujoco.py:130-134):
-    # angles span +-1.5pi and the [x, xd, thd] centers span [+-2, +-2, +-2pi]
-    # — wider than the ODE scenario's uniform +-pi, critically so on thd
-    # (the pole passes |thd| > pi during the catch; centers must cover it)
-    angle_centers = 1.5 * np.pi * 2 * (
-        np.asarray(jax.random.uniform(k1, (cfg.num_basis, 1))) - 0.5
-    )
-    not_angle_scale = np.array([2.0, 2.0, 2.0 * np.pi])
-    centers_init = np.concatenate(
-        [not_angle_scale * 2 * (np.asarray(jax.random.uniform(k2, (cfg.num_basis, 3))) - 0.5),
-         np.cos(angle_centers), np.sin(angle_centers)], axis=1,
-    )
-    weight_init = cfg.u_max * (np.asarray(jax.random.uniform(k3, (1, cfg.num_basis))) - 0.5)
-    agent.policy_params = policy.init_params(
-        kc, lengthscales=np.ones(5), centers=centers_init, weight=weight_init
-    )
+    # shared pure-JAX initializer (single source with the seed farm; centers
+    # shift <= 2 f32 ulps vs the former np-f64 inline path — within the
+    # documented f32 re-roll band)
+    agent.policy_params = policy_init(cfg, policy, key)
 
     reinforce_kwargs = dict(
         num_trials=cfg.num_trials,

@@ -217,7 +217,11 @@ def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
 
 
 # scenarios whose plant steps on-device (vmappable): farm-able
+# farm is the DEFAULT for these (on-device plants, proven throughput win)
 FARMABLE = ("cartpole", "cartpole_multi_init", "cartpole_pms", "furuta")
+# supported with explicit --farm only: the host-plant (MuJoCo) farm loops the
+# sim per seed between batched device phases — new in round 5, opt-in
+FARM_SUPPORTED = FARMABLE + ("cartpole_mujoco",)
 
 
 def run_farm(args, seeds=None, results=None, costs=None):
@@ -255,10 +259,16 @@ def run_farm(args, seeds=None, results=None, costs=None):
         from mcpilco_tpu.scenarios import cartpole_pms as scen
 
         make_cfg, success = scen.CartpolePMSConfig, scen.swingup_success
+    elif args.scenario == "cartpole_mujoco":
+        # host-plant farm: the MuJoCo sim loops per seed between the
+        # batched device phases (multiseed._collect_host)
+        from mcpilco_tpu.scenarios import cartpole_mujoco as scen
+
+        make_cfg, success = scen.CartpoleMujocoConfig, scen.swingup_success
     else:
         raise SystemExit(
-            "--farm supports the on-device scenarios: cartpole, "
-            "cartpole_multi_init, cartpole_pms, furuta"
+            "--farm supports: cartpole, cartpole_multi_init, "
+            "cartpole_pms, furuta, cartpole_mujoco"
         )
     results = {} if results is None else results
     costs = {} if costs is None else costs
@@ -294,8 +304,12 @@ def run_farm(args, seeds=None, results=None, costs=None):
         for i, s in enumerate(batch):
             final = res.final_true[i]
             ok = success(final)
+            # per-trial cost schedules (lengthscale curricula) index by
+            # control-trial ordinal: score the final trial with ITS row
             stage = agent.cost.stage_costs(
-                jnp.asarray(final[:, None, :]), jnp.asarray(res.final_inputs[i][:, None, :])
+                jnp.asarray(final[:, None, :]),
+                jnp.asarray(res.final_inputs[i][:, None, :]),
+                jnp.int32(len(res.trial_logs) - 1),
             )
             results[s] = ok
             costs[s] = round(float(jnp.sum(stage)), 4)
@@ -363,9 +377,12 @@ def main():
     if args.supervise and os.environ.get("MCPILCO_SUPERVISED") != "1":
         return _supervise(args)
 
+    if args.farm and args.scenario not in FARM_SUPPORTED:
+        raise SystemExit(f"--farm does not support scenario {args.scenario}")
     if args.extra_flag and (args.farm or (args.farm is None and args.scenario in FARMABLE
                                           and not args.in_process and args.jobs == 1)):
-        raise SystemExit("--extra-flag requires --no-farm (or a non-farm scenario)")
+        raise SystemExit("--extra-flag requires --no-farm (or a non-farm scenario); "
+                         "farm runs take config overrides via --scenario-kw")
 
     if args.farm is None:
         args.farm = args.scenario in FARMABLE and not args.in_process and args.jobs == 1

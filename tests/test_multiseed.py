@@ -149,6 +149,55 @@ class TestSeedFarmSharded:
             log2.cost_history[:, :5], log1.cost_history[:, :5], rtol=5e-3, atol=5e-3
         )
 
+    def test_restart_lanes_match_sequential(self):
+        """num_restarts > 1 farms as sequential lanes with the sequential
+        path's exact key derivation, so a farmed seed with R=2 reproduces
+        the same seed trained alone with R=2 (round-5 farm lift)."""
+        cfg = _cfg(seed=3)
+        agent, kwargs = scen.build(cfg)
+        agent.optimizer = dataclasses.replace(agent.optimizer, num_restarts=2)
+        agent.reinforce(**kwargs, verbose=False)
+
+        cfg0 = _cfg(seed=0)
+        agent_f, kwargs_f = scen.build(cfg0)
+        agent_f.optimizer = dataclasses.replace(agent_f.optimizer, num_restarts=2)
+        farm = SeedFarm(
+            agent_f, [2, 3],
+            policy_init_fn=lambda k: scen.policy_init(cfg0, agent_f.policy, k),
+        )
+        res = farm.run(**kwargs_f, verbose=False)
+        i = list(res.seeds).index(3)
+        np.testing.assert_allclose(
+            res.trial_logs[-1].control_true[i], agent.trials[-1].true,
+            rtol=5e-2, atol=5e-2,
+        )
+
+    def test_mujoco_farm_matches_sequential(self):
+        """Host-plant (MuJoCo) farm: per-seed sim loop + batched fit/opt
+        reproduces the sequential MuJoCo run (round-5 farm lift)."""
+        pytest.importorskip("mujoco")
+        from mcpilco_tpu.scenarios import cartpole_mujoco as mj
+
+        cfg = dataclasses.replace(
+            mj.CartpoleMujocoConfig(seed=3).smoke(),
+            num_particles=32, opt_steps=(12,), gp_epochs=60,
+        )
+        agent, kwargs = mj.build(cfg)
+        agent.reinforce(**kwargs, verbose=False)
+
+        cfg0 = dataclasses.replace(cfg, seed=0)
+        agent_f, kwargs_f = mj.build(cfg0)
+        farm = SeedFarm(
+            agent_f, [2, 3],
+            policy_init_fn=lambda k: mj.policy_init(cfg0, agent_f.policy, k),
+        )
+        res = farm.run(**kwargs_f, verbose=False)
+        i = list(res.seeds).index(3)
+        np.testing.assert_allclose(
+            res.trial_logs[-1].control_true[i], agent.trials[-1].true,
+            rtol=5e-2, atol=5e-2,
+        )
+
     def test_rejects_bad_configs(self):
         cfg = _cfg()
         agent, _ = scen.build(cfg)

@@ -132,15 +132,17 @@ class TestRestarts:
         np.testing.assert_allclose(np.asarray(r1.restart_costs),
                                    np.asarray(r2.restart_costs), rtol=1e-5)
 
-    def test_farm_rejects_restarts(self):
+    def test_farm_accepts_restarts(self):
+        # round 5 lifted the farm's num_restarts==1 restriction: restarts
+        # run as sequential lanes through the compiled R=1 program
+        # (multiseed.SeedFarm.optimize); construction must succeed
         from mcpilco_tpu.parallel.multiseed import SeedFarm
         from mcpilco_tpu.scenarios import cartpole as scen
 
         cfg = scen.CartpoleConfig(seed=1).smoke()
         agent, _ = scen.build(cfg)
         agent.optimizer = dataclasses.replace(agent.optimizer, num_restarts=2)
-        with pytest.raises(ValueError, match="num_restarts"):
-            SeedFarm(agent, [1, 2])
+        SeedFarm(agent, [1, 2])
 
 
 class TestFirstChunkBudget:
