@@ -95,6 +95,19 @@ class SeedFarm:
     # fixed host-chunk size override (profiling/diagnosis; default: scaled
     # down from the optimizer's chunk_steps by batch size and horizon)
     chunk_steps_override: Optional[int] = None
+    # host-progress heartbeat: called (no args) at every return-to-host
+    # point — after each optimize chunk, model fit, and plant collection.
+    # Drivers use it for stall detection: a tunneled-TPU device call that
+    # never returns freezes the process with NO output (observed: a 4-seed
+    # MuJoCo R=4 farm batch went silent 30+ min at ~1% CPU in a trial-3
+    # chunk, host CPU-time frozen), so output-based watchdogs see a legit
+    # slow trial and a lost dispatch identically; a host-return heartbeat
+    # distinguishes them (healthy chunks return every ~chunk_target_s).
+    progress_cb: Optional[Callable] = None
+
+    def _tick(self):
+        if self.progress_cb is not None:
+            self.progress_cb()
 
     def __post_init__(self):
         a = self.agent
@@ -231,6 +244,7 @@ class SeedFarm:
         self.buf_y = self.buf_y.at[:, :, self._filled : self._filled + n].set(y)
         self._filled += n
         self.num_collections += 1
+        self._tick()
         return np.stack(trues), np.stack(ins)
 
     def collect(self, T: float, trial_index: int, exploration: bool) -> tuple:
@@ -285,6 +299,7 @@ class SeedFarm:
         self.buf_y = self.buf_y.at[:, :, self._filled : self._filled + n].set(y)
         self._filled += n
         self.num_collections += 1
+        self._tick()
         return np.asarray(true_states), np.asarray(inputs)
 
     # ---------------------------------------------------------- model
@@ -346,7 +361,9 @@ class SeedFarm:
             self._shard(self.keys), self._shard(self.buf_x), self._shard(self.buf_y),
             jnp.asarray(mask), jnp.int32(self.num_collections),
         )
-        return np.asarray(mll_last)
+        out = np.asarray(mll_last)  # device sync
+        self._tick()
+        return out
 
     # ---------------------------------------------------------- policy
 
@@ -478,6 +495,7 @@ class SeedFarm:
                 jnp.int32(end), iter_end, jnp.int32(trial_index),
             )
             all_done = bool(jnp.all(carry.done))  # sync; times the execution
+            self._tick()
             if all_done:
                 break
             # progress = the slowest LIVE seed (done seeds no longer advance)

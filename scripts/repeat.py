@@ -173,6 +173,41 @@ def _start_watchdog(stall_secs):
     threading.Thread(target=run, daemon=True, name="repeat-watchdog").start()
 
 
+def _start_farm_watchdog(stall_secs, state, args):
+    """Farm-mode stall detector (the in-process watchdog watches a per-seed
+    stdout buffer the farm doesn't have).  The farm bumps ``state["t"]`` via
+    SeedFarm.progress_cb at every return-to-host (each optimize chunk, fit,
+    collection) — healthy batches tick every ~chunk_target_s even when a
+    trial legitimately runs 8+ min with zero printed output (NaN-storm
+    trials).  A tunneled-TPU lost dispatch never returns to host (observed:
+    a 4-seed R=4 batch frozen 30+ min, host CPU-time constant), so a stale
+    heartbeat is unambiguous: exit WATCHDOG_EXIT_CODE for the supervisor to
+    relaunch with --resume (partial summaries are written per batch; only
+    the in-flight batch is lost)."""
+
+    def run():
+        while True:
+            time.sleep(min(30.0, max(stall_secs / 4.0, 1.0)))
+            silent = time.time() - state["t"]
+            # compile grace: until the process has observed ONE host return,
+            # a silence may be a legitimate fresh compile (erratic tunnel
+            # compiles reach >10 min; killing mid-compile wedges the chip
+            # ~25 min) — mirror the trainer heartbeat's chunk-0 budget.
+            budget = stall_secs if state.get("ticks") else max(stall_secs, 2700)
+            if silent <= budget:
+                continue
+            sys.stderr.write(
+                f"[repeat] FARM WATCHDOG: no host progress for {int(silent)}s "
+                f"(batch {state.get('batch')}) — killing the process "
+                f"(re-run with --resume; completed batches are saved)\n"
+            )
+            faulthandler.dump_traceback(file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(WATCHDOG_EXIT_CODE)
+
+    threading.Thread(target=run, daemon=True, name="repeat-farm-watchdog").start()
+
+
 def run_seed_inprocess(scenario, seed, extra, platform, tag=""):
     """Run one seed by calling the train script's main() in THIS process.
 
@@ -274,6 +309,9 @@ def run_farm(args, seeds=None, results=None, costs=None):
     costs = {} if costs is None else costs
     if seeds is None:
         seeds = list(range(args.first_seed, args.first_seed + args.num_seeds))
+    watch_state = {"t": time.time(), "batch": None}
+    if args.stall_secs:
+        _start_farm_watchdog(args.stall_secs, watch_state, args)
     for lo in range(0, len(seeds), args.farm_batch):
         if _check_stop(args):
             raise SystemExit(STOP_EXIT_CODE)
@@ -296,9 +334,14 @@ def run_farm(args, seeds=None, results=None, costs=None):
                 kw["num_trials"] = args.trials
             cfg = _dc.replace(cfg, **kw)
         agent, kwargs = scen.build(cfg)
+        watch_state["batch"] = batch
+        watch_state["t"] = time.time()
         farm = SeedFarm(
             agent, batch,
             policy_init_fn=lambda k: scen.policy_init(cfg, agent.policy, k),
+            progress_cb=lambda: watch_state.update(
+                t=time.time(), ticks=watch_state.get("ticks", 0) + 1
+            ),
         )
         res = farm.run(**kwargs, verbose=True)
         for i, s in enumerate(batch):
@@ -360,10 +403,13 @@ def main():
                         "scenario/tag and skip its completed seeds (crash/"
                         "watchdog recovery; infra-errored seeds re-run)")
     p.add_argument("--stall-secs", type=int, default=900,
-                   help="in-process mode: kill the process (exit code 87) "
-                        "when the running seed produces no output for this "
-                        "long — a stuck tunneled-TPU device call cannot be "
-                        "interrupted any other way. 0 disables.")
+                   help="kill the process (exit code 87) when the sweep "
+                        "stalls this long — a stuck tunneled-TPU device call "
+                        "cannot be interrupted any other way. In-process "
+                        "mode watches the seed's output; farm mode watches "
+                        "the host-return heartbeat (SeedFarm.progress_cb), "
+                        "with a 2700s grace before the first return of the "
+                        "process (fresh-compile window). 0 disables.")
     p.add_argument("--supervise", type=int, default=0, metavar="N",
                    help="run the sweep in a supervised subprocess and, on a "
                         "watchdog stall (rc 87) or crash, wait for the chip "

@@ -211,3 +211,23 @@ class TestSeedFarmSharded:
         agent3, _ = scen.build(cfg, mesh=mesh_mod.make_mesh(2))
         with pytest.raises(ValueError):
             SeedFarm(agent3, [1, 2], mesh=mesh_mod.make_mesh(2))
+
+
+class TestProgressHeartbeat:
+    def test_progress_cb_ticks_at_host_returns(self):
+        """The farm bumps progress_cb at every return-to-host (chunk, fit,
+        collection) — the farm-mode stall watchdog's signal
+        (scripts/repeat.py _start_farm_watchdog)."""
+        cfg = _cfg()
+        agent, kwargs = scen.build(cfg)
+        ticks = []
+        farm = SeedFarm(
+            agent,
+            [1, 2],
+            policy_init_fn=lambda k: scen.policy_init(cfg, agent.policy, k),
+            progress_cb=lambda: ticks.append(1),
+        )
+        farm.run(**kwargs, verbose=False)
+        # 1 trial = exploration collect + fit + >=1 opt chunk + control
+        # collect: at least 4 host returns
+        assert len(ticks) >= 4
