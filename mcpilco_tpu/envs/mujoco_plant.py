@@ -77,11 +77,18 @@ class MujocoPlant:
         rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).sum() % (2**32))
         noise = np.asarray(self.noise_std) if self.noise_std else np.zeros(2 * nq)
 
-        # device-side policy closure (one jit for the whole trial)
-        pol = jax.jit(
-            lambda s, t, k: policy.apply(policy_params, s[None, :], t, key=k)[0]
-        )
+        # Device-side policy closure: ONE jit (and hence one device dispatch)
+        # per control step.  The per-step key fold lives INSIDE the jit — on
+        # the tunneled TPU runtime every eager op is a separate RPC, so an
+        # eager fold_in + key transfer per step tripled the closed-loop
+        # collection latency (same fold_in op traced or eager: the PRNG
+        # stream is bit-identical).
         k_pol = prng.stream(key, prng.STREAM_EXPLORATION)
+        pol = jax.jit(
+            lambda s, t: policy.apply(
+                policy_params, s[None, :], t, key=prng.fold(k_pol, t)
+            )[0]
+        )
 
         def obs():
             return np.concatenate([data.qpos, data.qvel])
@@ -90,9 +97,7 @@ class MujocoPlant:
         noisy = [obs() + rng.standard_normal(2 * nq) * noise]
         inputs = []
         for t in range(num_steps):
-            u = np.asarray(
-                pol(jnp.asarray(noisy[t], jnp.float32), t, prng.fold(k_pol, t)), np.float64
-            )
+            u = np.asarray(pol(jnp.asarray(noisy[t], jnp.float32), t), np.float64)
             inputs.append(u)
             data.ctrl[:] = u
             for _ in range(frame_skip):
@@ -101,10 +106,7 @@ class MujocoPlant:
             noisy.append(obs() + rng.standard_normal(2 * nq) * noise)
         # final input sample so |inputs| == |states| (model_mujoco convention)
         inputs.append(
-            np.asarray(
-                pol(jnp.asarray(noisy[-1], jnp.float32), num_steps, prng.fold(k_pol, num_steps)),
-                np.float64,
-            )
+            np.asarray(pol(jnp.asarray(noisy[-1], jnp.float32), num_steps), np.float64)
         )
         m = np.asarray(noisy, np.float32)
         return TrialData(
