@@ -24,6 +24,16 @@ Variants: --restarts N (4 -> 2 bisect), --nan-style off|where|cond,
 --particles P, --horizon H.  Checkpoint: a complete_trial1 MuJoCo log dir
 (the trial-2 program's incoming state).  Drive each leg under `timeout`;
 exit 124/137 = that leg stalls too.  One TPU client at a time.
+
+Round-5 findings (RESULTS.md "compiler exonerated"): the aot leg is CLEAN
+on the real chip (compile 6.6 s, temp 2.64 GB, results/
+probe_mj_r4_aot_r5.json), so the stall is execution-side in the tunneled
+runtime.  Interpretation caveat for the run leg: the tunneled runtime's
+sitecustomize claims the chip at INTERPRETER START, so while a previous
+client's claim lingers (~250 s after a clean exit, ~25 min after a
+SIGTERM) this script blocks BEFORE ITS FIRST PRINT — a silent leg under
+timeout means "claim-blocked", not "dispatch hang", unless the
+mode=... banner was printed first.
 """
 
 import argparse
